@@ -1,0 +1,572 @@
+"""Query registry: Ray Data pipelines + their DuckDB oracle SQL twins.
+
+Each entry implements one operator/pipeline from SURVEY.md §2 as an
+idiomatic Ray Data pipeline over the driver's parquet tables, and (where
+SQL-expressible) an ANSI-SQL twin that DuckDB can run on the same tables.
+Column names AND floating-point arithmetic are mirrored exactly: float
+results are derived from exact integer aggregates through a single
+deterministic IEEE-double expression, so the value-hash comparison matches
+bit-for-bit at any Ray parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .catalogue import catalogue_sql
+from .hashing import hmix, hmix_sql
+from .pipelines.sampling import DEFAULT_CONFIG, make_catalogue, run_sampling
+from .samplers.algos import sample_randomly, sample_with_stratification
+from .samplers.base import SALT_RANDOM, SALT_SPATIAL
+from .sources.pages import extract_text_from_html, pages_from_documents
+from .stages.dedup import dedup_exact_prehashed
+from .stages.filters import exclude_ids, filter_by_boolean_indicator, filter_on_split
+from .stages.normalize import EPSILON, normalize_dataset
+
+CAT = catalogue_sql("documents")
+CAT_FULL = catalogue_sql("documents", extra_cols=("doc_id", "n_chars", "lang"))
+
+RANDOM_N = 64
+STRAT_N = 100
+ANTI_SALT = 55
+DEDUP_MOD = 97
+TOP1_CENTER = 30_000
+
+
+# ---------------------------------------------------------------------------
+# Catalogue / tiling
+# ---------------------------------------------------------------------------
+
+def q_tile_assign(sf_dir: str):
+    """M0 flagship: read → geocode/tile-assign map_batches → project."""
+    return make_catalogue(sf_dir).select_columns(["patch_id", "x", "y", "cell", "file_id"])
+
+
+SQL_TILE_ASSIGN = f"SELECT patch_id, x, y, cell, file_id FROM ({CAT}) cat"
+
+
+def q_catalogue(sf_dir: str):
+    """Full derived catalogue (S3 analog + M5 descriptor factory)."""
+    return make_catalogue(sf_dir)
+
+
+SQL_CATALOGUE = CAT_FULL
+
+
+def q_split_filter_train(sf_dir: str):
+    """S2 split filter: train = test IS NULL OR test IS FALSE."""
+    ds = filter_on_split(make_catalogue(sf_dir), "train")
+    return ds.select_columns(["patch_id", "cell", "file_id"])
+
+
+SQL_SPLIT_TRAIN = (
+    f"SELECT patch_id, cell, file_id FROM ({CAT}) cat WHERE test IS NULL OR test = FALSE"
+)
+
+
+def q_split_filter_test(sf_dir: str):
+    ds = filter_on_split(make_catalogue(sf_dir), "test")
+    return ds.select_columns(["patch_id", "cell", "file_id"])
+
+
+SQL_SPLIT_TEST = f"SELECT patch_id, cell, file_id FROM ({CAT}) cat WHERE test = TRUE"
+
+
+def q_filter_indicator(sf_dir: str):
+    """M1: boolean-descriptor filter + projection to PATCH_INFO."""
+    return filter_by_boolean_indicator(make_catalogue(sf_dir), "c1")
+
+
+SQL_FILTER_INDICATOR = f"SELECT patch_id, file_id FROM ({CAT}) cat WHERE c1"
+
+
+def q_anti_join(sf_dir: str):
+    """M2: broadcast anti-join against an exclusion id set."""
+    cat = make_catalogue(sf_dir)
+    ids = cat.select_columns(["patch_id"]).map_batches(
+        lambda t: t.filter(pc.equal(pa.array(hmix(t["patch_id"].to_numpy(zero_copy_only=False), ANTI_SALT) % 10), 0)),
+        batch_format="pyarrow",
+    ).to_pandas()["patch_id"].to_numpy()
+    return exclude_ids(cat, ids)
+
+
+SQL_ANTI_JOIN = (
+    f"SELECT patch_id, file_id FROM ({CAT}) cat "
+    f"WHERE NOT ((({hmix_sql('patch_id', ANTI_SALT)}) % 10) = 0)"
+)
+
+
+def q_dedup_exact(sf_dir: str):
+    """M9/S1: exact dedup (hash-shuffle, pre-combined) keeping min-id rep."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("dup_key", pc.cast(
+            pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % DEDUP_MOD), pa.int64())),
+        batch_format="pyarrow",
+    )
+    return dedup_exact_prehashed(ds, "dup_key", "doc_id")
+
+
+SQL_DEDUP_EXACT = (
+    f"SELECT doc_id, n_chars, doc_id % {DEDUP_MOD} AS dup_key FROM documents "
+    f"QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id % {DEDUP_MOD} ORDER BY doc_id) = 1"
+)
+
+
+def q_grouped_top1(sf_dir: str):
+    """J4 as-of-style grouped top-1: per slab, row closest to a target value."""
+    cat = make_catalogue(sf_dir).select_columns(["patch_id", "file_id", "nb_sol"])
+
+    def _top1(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g["nb_sol"] - TOP1_CENTER).abs()
+        g = g.assign(__d=d).sort_values(["__d", "patch_id"], kind="mergesort")
+        return g.head(1).drop(columns="__d")
+
+    return cat.groupby("file_id").map_groups(_top1, batch_format="pandas")
+
+
+SQL_GROUPED_TOP1 = (
+    f"SELECT patch_id, file_id, nb_sol FROM ({CAT}) cat "
+    f"QUALIFY ROW_NUMBER() OVER (PARTITION BY file_id "
+    f"ORDER BY ABS(nb_sol - {TOP1_CENTER}), patch_id) = 1"
+)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (exact integer partials → deterministic float expressions)
+# ---------------------------------------------------------------------------
+
+BOOL_COLS = ["c0", "c1", "c2", "c3", "c_long", "c_lang_en"]
+
+
+def q_prevalence(sf_dir: str):
+    """A2: global prevalence (mean) of every boolean descriptor."""
+    cat = make_catalogue(sf_dir).select_columns(BOOL_COLS)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        out = {"__n": [t.num_rows]}
+        for c in BOOL_COLS:
+            out[c] = [int(pc.sum(pc.cast(t[c], pa.int64())).as_py() or 0)]
+        return pa.table(out)
+
+    parts = cat.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["__n"].sum())
+    return pd.DataFrame(
+        {f"prev_{c}": [float(int(parts[c].sum())) / float(n)] for c in BOOL_COLS}
+    )
+
+
+SQL_PREVALENCE = (
+    "SELECT "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+        f" AS prev_{c}"
+        for c in BOOL_COLS
+    )
+    + f" FROM ({CAT}) cat"
+)
+
+
+def q_grouped_stats(sf_dir: str):
+    """A3/A4: per-slab patch count + feature sum (Ray groupby-aggregate)."""
+    from ray.data.aggregate import Count, Sum
+
+    cat = make_catalogue(sf_dir).select_columns(["file_id", "nb_total"])
+    out = cat.groupby("file_id").aggregate(
+        Count(alias_name="num_patches"), Sum("nb_total", alias_name="sum_nb_total")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_nb_total"), "sum_nb_total",
+            pc.cast(t["sum_nb_total"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_GROUPED_STATS = (
+    f"SELECT file_id, COUNT(*) AS num_patches, CAST(SUM(nb_total) AS BIGINT) AS sum_nb_total "
+    f"FROM ({CAT}) cat GROUP BY file_id"
+)
+
+
+def q_bool_or(sf_dir: str):
+    """A5 BOOL_OR: per-slab OR of the (nullable) test flag, as int-cast max."""
+    from ray.data.aggregate import Max
+
+    cat = make_catalogue(sf_dir).select_columns(["file_id", "test"])
+    flagged = cat.map_batches(
+        lambda t: t.append_column(
+            "t_int", pc.cast(pc.fill_null(pc.equal(t["test"], True), False), pa.int64())
+        ).drop_columns("test"),
+        batch_format="pyarrow",
+    )
+    return flagged.groupby("file_id").aggregate(Max("t_int", alias_name="any_test"))
+
+
+SQL_BOOL_OR = (
+    f"SELECT file_id, MAX(CASE WHEN test THEN 1 ELSE 0 END) AS any_test "
+    f"FROM ({CAT}) cat GROUP BY file_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# Sampling primitives (deterministic hash-rank ⇒ SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def q_random_sample(sf_dir: str):
+    """O1: global uniform n-sample = n smallest hash ranks."""
+    return sample_randomly(
+        make_catalogue(sf_dir), RANDOM_N, SALT_RANDOM, columns=["patch_id", "file_id"]
+    )
+
+
+SQL_RANDOM_SAMPLE = (
+    f"SELECT patch_id, file_id FROM ({CAT}) cat "
+    f"ORDER BY {hmix_sql('patch_id', SALT_RANDOM)}, patch_id LIMIT {RANDOM_N}"
+)
+
+
+def q_stratified_sample(sf_dir: str):
+    """O2: stratified sample by slab (quota floor ≥1, overshoot trim)."""
+    return sample_with_stratification(
+        make_catalogue(sf_dir), STRAT_N, SALT_SPATIAL, strata="file_id"
+    )
+
+
+_R = hmix_sql("patch_id", SALT_SPATIAL)
+SQL_STRATIFIED_SAMPLE = f"""
+WITH cat AS ({CAT}),
+ranked AS (SELECT patch_id, file_id, {_R} AS __r FROM cat),
+q AS (SELECT GREATEST(1, {STRAT_N} // COUNT(DISTINCT file_id)) AS quota FROM ranked)
+SELECT patch_id, file_id FROM (
+  SELECT r.*, ROW_NUMBER() OVER (PARTITION BY file_id ORDER BY __r, patch_id) AS rn
+  FROM ranked r
+), q WHERE rn <= q.quota ORDER BY __r, patch_id LIMIT {STRAT_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Normalization (M6) — exact float mirror
+# ---------------------------------------------------------------------------
+
+NORM_COLS = ["nb_sol", "nb_eau"]
+
+
+def q_normalize_std(sf_dir: str):
+    cat = make_catalogue(sf_dir).select_columns(["patch_id"] + NORM_COLS)
+    return normalize_dataset(cat, NORM_COLS, normalization="standardization")
+
+
+def _norm_sql(cols) -> str:
+    ctes = [f"cat AS ({CAT})"]
+    selects = ["patch_id"]
+    for c in cols:
+        ctes.append(
+            f"{c}_s0 AS (SELECT "
+            f"CAST(SUM(CASE WHEN {c} <> 0 THEN {c} END) AS DOUBLE) AS s, "
+            f"COUNT(CASE WHEN {c} <> 0 THEN 1 END) AS n, "
+            f"CAST(SUM(CASE WHEN {c} <> 0 THEN CAST({c} AS BIGINT) * {c} END) AS DOUBLE) AS ss, "
+            f"CAST(MIN(CASE WHEN {c} <> 0 THEN {c} END) AS DOUBLE) AS mn FROM cat)"
+        )
+        ctes.append(f"{c}_s1 AS (SELECT s / n AS mean, n, ss, mn FROM {c}_s0)")
+        ctes.append(
+            f"{c}_s2 AS (SELECT mean, "
+            f"SQRT(GREATEST(CAST(0.0 AS DOUBLE), (ss - n * mean * mean) / (n - 1))) AS std, "
+            f"mn FROM {c}_s1)"
+        )
+        selects.append(
+            f"CASE WHEN {c} <> 0 THEN (CAST({c} AS DOUBLE) - {c}_s2.mean) / ({c}_s2.std + {EPSILON!r}) "
+            f"ELSE ({c}_s2.mn - {c}_s2.mean) / ({c}_s2.std + {EPSILON!r}) END AS {c}"
+        )
+    froms = ", ".join(["cat"] + [f"{c}_s2" for c in cols])
+    return "WITH " + ", ".join(ctes) + " SELECT " + ", ".join(selects) + " FROM " + froms
+
+
+SQL_NORMALIZE_STD = _norm_sql(NORM_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Extraction (per-row invariant: byte-identical text per url)
+# ---------------------------------------------------------------------------
+
+def q_extract_text(sf_dir: str):
+    """E2 analog: html → payload byte-slice; must equal the source text."""
+    pages = pages_from_documents(sf_dir)
+
+    def _extract(t: pa.Table) -> pa.Table:
+        txt = pc.cast(extract_text_from_html(t["html"]), pa.string())
+        return pa.table({"doc_id": t["doc_id"], "text_extracted": txt})
+
+    return pages.map_batches(_extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EXTRACT_TEXT = "SELECT doc_id, text AS text_extracted FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_count(sf_dir: str):
+    """Whitespace token count, vectorized Arrow kernels only."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        full = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        nosp = pc.cast(
+            pc.utf8_length(pc.replace_substring(t["text"], " ", "")), pa.int64()
+        )
+        n_tok = pc.add(pc.subtract(full, nosp), 1)
+        n_tok = pc.if_else(pc.equal(full, 0), pa.scalar(0, pa.int64()), n_tok)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n_tok})
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TOKEN_COUNT = (
+    "SELECT doc_id, CASE WHEN LENGTH(text) = 0 THEN 0 "
+    "ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 END AS n_tokens FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# Engine breadth: TPC-H-ish aggregates / joins / windows
+# ---------------------------------------------------------------------------
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def q_tpch_q1(sf_dir: str):
+    """Pricing summary with EXACT integer-scaled money arithmetic (partial
+    per-batch aggregation — the combine ships 4 rows per batch, not 600k)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_shipdate"],
+    )
+    cutoff = np.datetime64(Q1_CUTOFF + "T00:00:00.000000")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        mask = ship <= cutoff
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)[mask]
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[mask]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[mask]
+        tax = t["l_tax"].to_numpy(zero_copy_only=False)[mask]
+        qty_i = np.rint(qty).astype(np.int64)
+        price_c = np.rint(price * 100).astype(np.int64)
+        disc_c = np.rint(disc * 100).astype(np.int64)
+        tax_c = np.rint(tax * 100).astype(np.int64)
+        disc_price = price_c * (100 - disc_c)
+        charge = disc_price * (100 + tax_c)
+        df = pd.DataFrame({
+            "l_returnflag": np.asarray(t["l_returnflag"])[mask],
+            "l_linestatus": np.asarray(t["l_linestatus"])[mask],
+            "qty": qty_i, "price_c": price_c, "disc_c": disc_c,
+            "dp": disc_price, "ch": charge,
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty_i=("qty", "sum"), sum_price_c=("price_c", "sum"),
+            sum_dp=("dp", "sum"), sum_ch=("ch", "sum"),
+            sum_disc_c=("disc_c", "sum"), n=("qty", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    # tiny final combine: python ints are exact at any magnitude
+    agg = parts.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
+        sum_qty_i=("sum_qty_i", "sum"), sum_price_c=("sum_price_c", "sum"),
+        sum_dp=("sum_dp", "sum"), sum_ch=("sum_ch", "sum"),
+        sum_disc_c=("sum_disc_c", "sum"), n=("n", "sum"),
+    ).reset_index()
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "l_linestatus": agg["l_linestatus"],
+        "sum_qty": agg["sum_qty_i"].astype("float64"),
+        "sum_base_price": agg["sum_price_c"].map(float) / 100.0,
+        "sum_disc_price": agg["sum_dp"].map(float) / 10000.0,
+        "sum_charge": agg["sum_ch"].map(float) / 1000000.0,
+        "avg_qty": agg.apply(lambda r: float(r["sum_qty_i"]) / float(r["n"]), axis=1),
+        "avg_price": agg.apply(lambda r: float(r["sum_price_c"]) / float(r["n"]) / 100.0, axis=1),
+        "avg_disc": agg.apply(lambda r: float(r["sum_disc_c"]) / float(r["n"]) / 100.0, axis=1),
+        "count_order": agg["n"].astype("int64"),
+    })
+    return out
+
+
+SQL_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+       * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_charge,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_price,
+  CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window per event_type (streaming-shaped workload):
+    count / min / max are order-invariant ⇒ exact."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def _win(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "win": pa.array(us // WINDOW_US),
+            "value": t["value"],
+        })
+
+    out = (
+        ds.map_batches(_win, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "win"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+    )
+    return out
+
+
+SQL_EVENTS_WINDOW = f"""
+SELECT event_type, epoch_us(ts) // {WINDOW_US} AS win, COUNT(*) AS n_events,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_join_revenue(sf_dir: str):
+    """Large-large hash join (lineitem ⋈ orders) + exact grouped revenue."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "o_orderpriority": np.asarray(t["o_orderpriority"]),
+            "rev": price_c * (100 - disc_c),
+        })
+        g = df.groupby("o_orderpriority", sort=False).agg(
+            rev=("rev", "sum"), n=("rev", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = joined.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("o_orderpriority", sort=True).agg(
+        rev=("rev", "sum"), n=("n", "sum")
+    ).reset_index()
+    return pd.DataFrame({
+        "o_orderpriority": agg["o_orderpriority"],
+        "revenue": agg["rev"].map(float) / 10000.0,
+        "n_items": agg["n"].astype("int64"),
+    })
+
+
+SQL_JOIN_REVENUE = """
+SELECT o_orderpriority,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sampler pipelines (seeded/iterative — rows-only checks; conformance is
+# asserted by pytest per the reference's own test strategy, SURVEY.md §5)
+# ---------------------------------------------------------------------------
+
+def _sampler_query(name: str):
+    def _q(sf_dir: str):
+        from .samplers import SAMPLERS_LIBRARY
+
+        cat = make_catalogue(sf_dir)
+        sampler = SAMPLERS_LIBRARY[name](sampling_config=dict(DEFAULT_CONFIG))
+        sel = sampler.get_patches(cat)
+        return sel[["patch_id", "split", "sampler"]].reset_index(drop=True)
+
+    _q.__name__ = f"q_sampler_{name}"
+    return _q
+
+
+def build_queries() -> dict:
+    queries = {
+        "tile_assign": q_tile_assign,
+        "catalogue": q_catalogue,
+        "split_filter_train": q_split_filter_train,
+        "split_filter_test": q_split_filter_test,
+        "filter_indicator": q_filter_indicator,
+        "anti_join": q_anti_join,
+        "dedup_exact": q_dedup_exact,
+        "grouped_top1": q_grouped_top1,
+        "prevalence": q_prevalence,
+        "grouped_stats": q_grouped_stats,
+        "bool_or": q_bool_or,
+        "random_sample": q_random_sample,
+        "stratified_sample": q_stratified_sample,
+        "normalize_std": q_normalize_std,
+        "extract_text": q_extract_text,
+        "token_count": q_token_count,
+        "tpch_q1": q_tpch_q1,
+        "events_window": q_events_window,
+        "join_revenue": q_join_revenue,
+    }
+    for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
+                 "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
+        queries[f"sampler_{name}"] = _sampler_query(name)
+    return queries
+
+
+def build_oracle_sql() -> dict:
+    return {
+        "tile_assign": SQL_TILE_ASSIGN,
+        "catalogue": SQL_CATALOGUE,
+        "split_filter_train": SQL_SPLIT_TRAIN,
+        "split_filter_test": SQL_SPLIT_TEST,
+        "filter_indicator": SQL_FILTER_INDICATOR,
+        "anti_join": SQL_ANTI_JOIN,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "grouped_top1": SQL_GROUPED_TOP1,
+        "prevalence": SQL_PREVALENCE,
+        "grouped_stats": SQL_GROUPED_STATS,
+        "bool_or": SQL_BOOL_OR,
+        "random_sample": SQL_RANDOM_SAMPLE,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "normalize_std": SQL_NORMALIZE_STD,
+        "extract_text": SQL_EXTRACT_TEXT,
+        "token_count": SQL_TOKEN_COUNT,
+        "tpch_q1": SQL_TPCH_Q1,
+        "events_window": SQL_EVENTS_WINDOW,
+        "join_revenue": SQL_JOIN_REVENUE,
+    }

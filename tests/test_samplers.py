@@ -1,0 +1,92 @@
+"""Sampler conformance tests (reference test layer 2, SURVEY.md §5 /
+FIXTURES.md F7): property assertions on the deterministic catalogue, not
+golden files — counts, schema, val fractions, stratification coverage."""
+
+from math import floor
+
+import pandas as pd
+import pytest
+
+from pacasam_ray.pipelines.sampling import DEFAULT_CONFIG, make_catalogue, run_sampling
+from pacasam_ray.samplers import SAMPLERS_LIBRARY
+from pacasam_ray.samplers.base import SAMPLING_SCHEMA
+
+from conftest import SF_DIR
+
+TARGET = DEFAULT_CONFIG["target_total_num_patches"]
+FRAC_VAL = DEFAULT_CONFIG["frac_validation_set"]
+
+
+@pytest.fixture(scope="module")
+def catalogue():
+    return make_catalogue(SF_DIR).materialize()
+
+
+@pytest.mark.parametrize("name", sorted(SAMPLERS_LIBRARY))
+def test_sampler_output_schema_and_nonempty(name, catalogue):
+    """F7.1: every sampler yields non-empty output, schema ⊇ sampling_schema."""
+    sampler = SAMPLERS_LIBRARY[name](sampling_config=dict(DEFAULT_CONFIG))
+    sel = sampler.get_patches(catalogue)
+    assert len(sel) > 0
+    assert set(SAMPLING_SCHEMA) <= set(sel.columns)
+    assert sel["patch_id"].is_unique or name == "TargettedSampler"
+
+
+def test_targetted_with_completion_exact_counts(catalogue):
+    """F7.2: len == target_total; #val == floor(frac·total); samplers set."""
+    sampler = SAMPLERS_LIBRARY["TargettedSampler"](sampling_config=dict(DEFAULT_CONFIG))
+    sel = sampler.get_patches(catalogue)
+    assert len(sel) == TARGET
+    assert (sel["split"] == "val").sum() == floor(FRAC_VAL * TARGET)
+    assert set(sel["sampler"]) == {"TargettedSampler", "SpatialSampler"}
+
+
+def test_targetted_without_completion_partial(catalogue):
+    sampler = SAMPLERS_LIBRARY["TargettedSampler"](
+        sampling_config=dict(DEFAULT_CONFIG), complete_with_spatial_sampling=False
+    )
+    sel = sampler.get_patches(catalogue)
+    assert 0 < len(sel) < TARGET
+
+
+def test_targetted_overconstrained_warns(catalogue):
+    """F7.3: all-0.99 targets ⇒ warning + len > target."""
+    cf = dict(DEFAULT_CONFIG)
+    cf["TargettedSampler"] = {
+        "targets": {
+            c: {"target_min_samples_proportion": 0.99} for c in ("c1", "c2", "c3")
+        }
+    }
+    sampler = SAMPLERS_LIBRARY["TargettedSampler"](sampling_config=cf)
+    with pytest.warns(UserWarning):
+        sel = sampler.get_patches(catalogue)
+    assert len(sel) > TARGET
+
+
+def test_random_spatial_exact_target(catalogue):
+    for name in ("RandomSampler", "SpatialSampler"):
+        sel = SAMPLERS_LIBRARY[name](sampling_config=dict(DEFAULT_CONFIG)).get_patches(catalogue)
+        assert len(sel) == TARGET, name
+        assert (sel["split"] == "val").sum() == floor(FRAC_VAL * TARGET)
+
+
+def test_triple_exact_target(catalogue):
+    sel = SAMPLERS_LIBRARY["TripleSampler"](sampling_config=dict(DEFAULT_CONFIG)).get_patches(catalogue)
+    assert len(sel) == TARGET
+    assert sel["patch_id"].is_unique
+    assert set(sel["sampler"]) <= {"TargettedSampler", "DiversitySampler", "SpatialSampler"}
+
+
+def test_diversity_deterministic_across_runs(catalogue):
+    cls = SAMPLERS_LIBRARY["DiversitySampler"]
+    a = cls(sampling_config=dict(DEFAULT_CONFIG)).get_patches(catalogue)
+    b = cls(sampling_config=dict(DEFAULT_CONFIG)).get_patches(catalogue)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_run_sampling_end_to_end_enriched():
+    out = run_sampling(SF_DIR, "SpatialSampler")
+    assert len(out) == TARGET
+    # enriched selection = catalogue columns + sampling columns (J1)
+    for col in ("patch_id", "split", "sampler", "file_id", "cell", "x", "y"):
+        assert col in out.columns

@@ -1,0 +1,92 @@
+"""Unit tests of pure kernels (reference test layer 1, SURVEY.md §5)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pacasam_ray.hashing import M31, hmix, hmix_sql
+from pacasam_ray.samplers.algos import fps, proportional_target, yield_chunks
+from pacasam_ray.samplers.base import sample_with_stratification_df
+from pacasam_ray.sources.pages import extract_text_from_html, wrap_html
+from pacasam_ray.stages.filters import split_mask
+from pacasam_ray.stages.normalize import UnexpectedNaNValuesError, normalize_df
+
+
+def test_hmix_matches_sql(duck):
+    ks = np.array([0, 1, 5, 12345, 999_999_999], dtype=np.int64)
+    for salt in (0, 1, 7, 1000):
+        py = hmix(ks, salt)
+        sql = duck.sql(
+            "SELECT " + ", ".join(hmix_sql(str(k), salt) for k in ks.tolist())
+        ).fetchone()
+        assert list(py) == list(sql)
+
+
+def test_hmix_range_and_spread():
+    h = hmix(np.arange(100_000, dtype=np.int64), 3)
+    assert h.min() >= 0 and h.max() < M31
+    # rough uniformity: each decile within 20% of expected
+    counts, _ = np.histogram(h, bins=10, range=(0, M31))
+    assert counts.min() > 8_000 and counts.max() < 12_000
+
+
+def test_split_mask_truth_table():
+    """F5 mock (reference tests/tests_pacasam/connectors/test_lipac.py:10-36)."""
+    test_col = pa.array([True, None, False, None, True, None])
+    data = np.arange(1, 7)
+    assert split_mask(test_col, "any") is None
+    m_test = split_mask(test_col, "test").to_pylist()
+    assert [d for d, m in zip(data, m_test) if m] == [1, 5]
+    m_train = pa.compute.fill_null(split_mask(test_col, "train"), False).to_pylist()
+    assert [d for d, m in zip(data, m_train) if m] == [2, 3, 4, 6]
+    with pytest.raises(ValueError):
+        split_mask(test_col, "bogus")
+
+
+def test_fps_selection_order_and_coverage():
+    pts = np.array([[0.0, 0.0], [10.0, 0.0], [0.1, 0.0], [5.0, 0.0]])
+    idx = fps(pts, 3)
+    assert list(idx) == [0, 1, 3]  # farthest-first from index 0
+    # degenerate: identical points must not repeat selections
+    same = np.zeros((5, 2))
+    assert sorted(fps(same, 3)) == sorted(set(fps(same, 3)))
+    # n >= len returns all
+    assert list(fps(pts, 10)) == [0, 1, 2, 3]
+
+
+def test_yield_chunks_and_allocation():
+    df = pd.DataFrame({"a": range(10)})
+    chunks = list(yield_chunks(df, 4))
+    assert [len(c) for c in chunks] == [4, 4, 2]
+    assert proportional_target(4, 5, 10) == 2
+
+
+def test_normalize_df_matches_reference_semantics():
+    df = pd.DataFrame({"patch_id": [0, 1, 2, 3], "v": [0, 10, 20, 30]})
+    out = normalize_df(df, ["v"])
+    nz = pd.Series([10.0, 20.0, 30.0])
+    expected = (nz - nz.mean()) / (nz.std() + 10e-6)
+    # zero maps to min of transformed values
+    assert out["v"].iloc[0] == pytest.approx(expected.min())
+    assert out["v"].iloc[1:].tolist() == pytest.approx(expected.tolist())
+    with pytest.raises(UnexpectedNaNValuesError):
+        normalize_df(pd.DataFrame({"v": [1.0, np.nan]}), ["v"])
+
+
+def test_stratified_df_exact_count_and_coverage():
+    df = pd.DataFrame({
+        "patch_id": range(100),
+        "file_id": [f"s{i % 10}" for i in range(100)],
+    })
+    out = sample_with_stratification_df(df, 20, keys="file_id", salt=1)
+    assert len(out) == 20
+    assert out["patch_id"].is_unique
+    assert out["file_id"].nunique() == 10  # every strata covered
+
+
+def test_html_roundtrip_byte_identical():
+    text = pa.array(["hello world", "", "héllo ünïcode £"])
+    html = wrap_html(text)
+    back = extract_text_from_html(html)
+    assert pa.compute.cast(back, pa.string()).to_pylist() == text.to_pylist()
