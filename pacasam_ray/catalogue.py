@@ -122,10 +122,17 @@ def add_catalogue_columns(
     n_chars_col: str = "n_chars",
     lang_col: str = "lang",
 ) -> pa.Table:
-    """map_batches body (batch_format='pyarrow'): append all catalogue columns."""
+    """map_batches body (batch_format='pyarrow'): append all catalogue columns.
+
+    ``n_chars`` is derived from ``text`` when absent (the F1 pages table has
+    no n_chars column; documents.parquet carries it precomputed)."""
+    if n_chars_col in batch.column_names:
+        n_chars = batch[n_chars_col].to_numpy(zero_copy_only=False)
+    else:
+        n_chars = pa.compute.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
     derived = derive_catalogue_arrays(
         batch[id_col].to_numpy(zero_copy_only=False),
-        batch[n_chars_col].to_numpy(zero_copy_only=False),
+        n_chars,
         batch[lang_col].combine_chunks() if isinstance(batch[lang_col], pa.ChunkedArray) else batch[lang_col],
     )
     for name, arr in derived.items():

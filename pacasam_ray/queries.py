@@ -291,6 +291,112 @@ SQL_NORMALIZE_STD = _norm_sql(NORM_COLS)
 
 
 # ---------------------------------------------------------------------------
+# Spatial join + kNN (north-star operators)
+# ---------------------------------------------------------------------------
+
+# Deterministic sampling-zone rectangles (world is 25 000 × 25 000 units).
+# Z1 overlaps Z0 to exercise first-match priority. Patch centers sit at
+# multiples-of-50 + 25, zone bounds at multiples of 500 ⇒ no boundary hits.
+ZONES = [
+    (2000.0, 2000.0, 9000.0, 9000.0),
+    (8000.0, 1000.0, 15000.0, 8000.0),
+    (12000.0, 12000.0, 24000.0, 20000.0),
+    (500.0, 15000.0, 6000.0, 24500.0),
+]
+
+KNN_QUERIES = [(1000.0, 2000.0), (5000.0, 5500.0), (12500.0, 18000.0),
+               (21000.0, 3000.0), (24000.0, 24000.0)]
+KNN_K = 10
+
+
+def _zone_polys():
+    from .stages.spatial import rect_zone
+
+    return [rect_zone(*z) for z in ZONES]
+
+
+def q_spatial_join(sf_dir: str):
+    """T5: broadcast PiP spatial join (actor pool, per-actor zone index)."""
+    from .stages.spatial import assign_zones
+
+    cat = make_catalogue(sf_dir).select_columns(["patch_id", "x", "y", "file_id"])
+    return assign_zones(cat, _zone_polys()).select_columns(["patch_id", "file_id", "zone_id"])
+
+
+def _zone_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN x >= {z[0]!r} AND x <= {z[2]!r} AND y >= {z[1]!r} AND y <= {z[3]!r} THEN {i}"
+        for i, z in enumerate(ZONES)
+    )
+    return f"CASE {whens} ELSE -1 END"
+
+
+SQL_SPATIAL_JOIN = (
+    f"SELECT patch_id, file_id, {_zone_case_sql()} AS zone_id FROM ({CAT}) cat"
+)
+
+
+def q_zone_filter(sf_dir: str):
+    """EN_FRANCE-flag analog: keep only pages inside any sampling zone."""
+    from .stages.spatial import filter_in_zones
+
+    cat = make_catalogue(sf_dir).select_columns(["patch_id", "x", "y", "file_id"])
+    return filter_in_zones(cat, _zone_polys()).select_columns(["patch_id", "zone_id"])
+
+
+SQL_ZONE_FILTER = (
+    f"SELECT patch_id, zone_id FROM (SELECT patch_id, {_zone_case_sql()} AS zone_id "
+    f"FROM ({CAT}) cat) WHERE zone_id <> -1"
+)
+
+
+def q_knn(sf_dir: str):
+    """kNN retrieval: distributed brute force with per-batch top-k pruning."""
+    from .stages.spatial import knn_brute
+
+    cat = make_catalogue(sf_dir).select_columns(["patch_id", "x", "y"])
+    return knn_brute(cat, np.asarray(KNN_QUERIES), KNN_K)
+
+
+SQL_KNN = " UNION ALL ".join(
+    f"(SELECT * FROM (SELECT {qi} AS query_id, patch_id, "
+    f"(x - {qx!r}) * (x - {qx!r}) + (y - {qy!r}) * (y - {qy!r}) AS dist2 "
+    f"FROM ({CAT}) cat) QUALIFY ROW_NUMBER() OVER (ORDER BY dist2, patch_id) <= {KNN_K})"
+    for qi, (qx, qy) in enumerate(KNN_QUERIES)
+)
+
+
+def q_extract_pipeline(sf_dir: str):
+    """Full extraction pipeline: pages → shard by slab → per-partition atomic
+    parquet + manifest → read back (byte-identical text per url)."""
+    import tempfile
+
+    from .catalogue import add_catalogue_columns
+    from .pipelines.extraction import read_extracted, run_extraction
+
+    pages = pages_from_documents(sf_dir)
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = add_catalogue_columns(t)
+        return t.select(["url", "html", "doc_id", "file_id"]).append_column(
+            "split", pa.array(["train"] * t.num_rows)
+        ).append_column("patch_id", t["doc_id"])
+
+    sampling = pages.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    root = tempfile.mkdtemp(prefix="pacasam_extract_")
+    run_extraction(sampling, root, num_shards=8)
+    out = read_extracted(root)
+    return out[["url", "patch_id", "split", "text"]].reset_index(drop=True)
+
+
+SQL_EXTRACT_PIPELINE = (
+    "SELECT 'https://site' || CAST(doc_id % 20 AS VARCHAR) || '/p/' || "
+    "lpad(CAST(doc_id AS VARCHAR), 9, '0') AS url, "
+    "doc_id AS patch_id, 'train' AS split, text FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
 # Extraction (per-row invariant: byte-identical text per url)
 # ---------------------------------------------------------------------------
 
@@ -541,6 +647,10 @@ def build_queries() -> dict:
         "tpch_q1": q_tpch_q1,
         "events_window": q_events_window,
         "join_revenue": q_join_revenue,
+        "spatial_join": q_spatial_join,
+        "zone_filter": q_zone_filter,
+        "knn": q_knn,
+        "extract_pipeline": q_extract_pipeline,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -569,4 +679,8 @@ def build_oracle_sql() -> dict:
         "tpch_q1": SQL_TPCH_Q1,
         "events_window": SQL_EVENTS_WINDOW,
         "join_revenue": SQL_JOIN_REVENUE,
+        "spatial_join": SQL_SPATIAL_JOIN,
+        "zone_filter": SQL_ZONE_FILTER,
+        "knn": SQL_KNN,
+        "extract_pipeline": SQL_EXTRACT_PIPELINE,
     }
