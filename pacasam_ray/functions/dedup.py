@@ -1,0 +1,408 @@
+"""Deduplication suite for web-scale training-data pipelines.
+
+The reference only ever dedups exactly on the row key
+(src/pacasam/connectors/lipac.py:91, src/pacasam/samplers/sampler.py:46);
+at 100 TB a training-data engine additionally needs *content* dedup. Four
+operators, all expressed as Ray Data shuffles:
+
+- exact text dedup        — md5(text) hash-partition + per-group min-id rep
+- n-gram Jaccard pairs    — inverted-index join (flat_map shingles →
+                            groupby(gram) pair emission → pair-count →
+                            size join), the exact-similarity baseline
+- MinHash + LSH           — signature → banded buckets → per-bucket pairs
+                            with signature-estimated Jaccard (scale path)
+- SimHash near-dup        — 60-bit simhash + band buckets; with ``bands``
+                            bands and hamming radius d < bands the banding
+                            is EXACT by pigeonhole (no recall loss), so the
+                            distributed output equals the all-pairs oracle
+
+Portability contract: every hash that a DuckDB oracle must reproduce is
+derived from md5 hex digits (``int(md5(x)[:15], 16)`` ==
+``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``), so results are
+bit-identical across engines and partition counts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MD5_HEX = 15  # 60-bit hashes: fit signed int64 in both numpy and DuckDB
+P31 = 2_147_483_647  # Mersenne prime 2^31-1 for minhash permutations
+
+
+def md5_int(s: str, nhex: int = MD5_HEX) -> int:
+    """Portable 4·nhex-bit integer hash (DuckDB twin: CAST('0x'||substr(md5(s),1,nhex) AS BIGINT))."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:nhex], 16)
+
+
+def md5_int_sql(expr: str, nhex: int = MD5_HEX) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, {nhex})) AS BIGINT)"
+
+
+def word_ngrams(text: str, n: int) -> list[str]:
+    """Distinct word n-grams, split on single spaces (== DuckDB string_split)."""
+    w = text.split(" ")
+    seen: set[str] = set()
+    out: list[str] = []
+    for i in range(len(w) - n + 1):
+        g = " ".join(w[i : i + n])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Exact content dedup
+# ---------------------------------------------------------------------------
+
+def dedup_text_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact content dedup: md5(text) fingerprint → hash-shuffle → keep the
+    min-id representative per fingerprint group. Partition-count invariant
+    (the representative is a deterministic function of the group, never
+    "first seen")."""
+    from ..stages.dedup import dedup_exact_prehashed
+
+    def _fp(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        fps = pa.array([hashlib.md5(x.encode()).hexdigest() for x in texts])
+        return t.append_column("content_key", fps)
+
+    return dedup_exact_prehashed(
+        ds.map_batches(_fp, batch_format="pyarrow"), "content_key", id_col
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted-index join
+# ---------------------------------------------------------------------------
+
+def explode_ngrams(ds, n: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+    """flat_map: one row per distinct (doc, word-n-gram). The shingle table
+    is the inverted index the pair join runs over."""
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        grams: list[str] = []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            gs = word_ngrams(txt, n)
+            ids.extend([did] * len(gs))
+            grams.extend(gs)
+        return pa.table({id_col: pa.array(ids, pa.int64()), "gram": pa.array(grams)})
+
+    return ds.map_batches(_explode, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(ds, n: int = 3, tau: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Exact n-gram Jaccard similarity join, fully distributed:
+
+      shingles → groupby(gram): emit candidate pairs (the inverted-index
+      join; a gram shared by g docs emits C(g,2) pairs — at 100 TB scale
+      stop-grams above a document-frequency cap must be dropped, which we
+      deliberately do NOT do here to keep oracle-exact semantics) →
+      groupby(pair): |A∩B| → join per-doc set sizes twice → J = i/(na+nb−i).
+
+    Returns (doc_a, doc_b, jaccard) for all pairs with J ≥ tau. Bit-exact:
+    J is one IEEE division of exact integer counts.
+    """
+    from ray.data.aggregate import Count
+
+    # NOTE: `grams` is consumed by three branches; Ray re-executes the cheap
+    # explode per branch (streaming, no materialization). At 100 TB the
+    # shingle table would be checkpointed to parquet once and re-read.
+    grams = explode_ngrams(ds, n=n, text_col=text_col, id_col=id_col)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g[id_col].to_numpy())
+        if len(d) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
+        ia, ib = np.triu_indices(len(d), 1)
+        return pd.DataFrame({"doc_a": d[ia], "doc_b": d[ib]})
+
+    inter = (
+        grams.groupby("gram")
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="inter"))
+    )
+    sa = grams.groupby(id_col).aggregate(Count(alias_name="na"))
+    sb = grams.groupby(id_col).aggregate(Count(alias_name="nb"))
+    j = inter.join(
+        sa, join_type="inner", num_partitions=4, on=("doc_a",), right_on=(id_col,)
+    ).join(sb, join_type="inner", num_partitions=4, on=("doc_b",), right_on=(id_col,))
+
+    def _jaccard(t: pa.Table) -> pa.Table:
+        i = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = i / (na + nb - i)
+        out = pa.table({
+            "doc_a": t["doc_a"], "doc_b": t["doc_b"], "jaccard": pa.array(jac),
+        })
+        return out.filter(pa.compute.greater_equal(out["jaccard"], tau))
+
+    return j.map_batches(_jaccard, batch_format="pyarrow")
+
+
+def ngram_jaccard_sql(table: str, n: int = 3, tau: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id") -> str:
+    gram = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    return f"""
+WITH toks AS (SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}),
+grams AS (SELECT DISTINCT {id_col}, {gram} AS g
+          FROM toks, UNNEST(generate_series(1, len(w) - {n - 1})) AS t(i)),
+sizes AS (SELECT {id_col}, COUNT(*) AS n FROM grams GROUP BY 1),
+pairs AS (SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, COUNT(*) AS inter
+          FROM grams a JOIN grams b USING (g)
+          WHERE a.{id_col} < b.{id_col} GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+FROM pairs JOIN sizes sa ON doc_a = sa.{id_col} JOIN sizes sb ON doc_b = sb.{id_col}
+WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= {tau!r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path for near-dup text)
+# ---------------------------------------------------------------------------
+
+class MinHashSignatures:
+    """Actor-pool stage: permutation parameters drawn once per actor from a
+    fixed seed; gram→hash memoised across batches (the stateful-stage shape,
+    SURVEY.md §2.3). Emits one row per (doc, band): bucket key + signature.
+    """
+
+    def __init__(self, num_perm: int = 128, bands: int = 32, n: int = 3,
+                 seed: int = 11, text_col: str = "text", id_col: str = "doc_id"):
+        assert num_perm % bands == 0
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, P31, num_perm, dtype=np.int64)
+        self.b = rng.integers(0, P31, num_perm, dtype=np.int64)
+        self.num_perm, self.bands, self.rows = num_perm, bands, num_perm // bands
+        self.n, self.text_col, self.id_col = n, text_col, id_col
+        self._cache: dict[str, int] = {}
+
+    def _gram_hashes(self, text: str) -> np.ndarray:
+        c = self._cache
+        hs = []
+        for g in word_ngrams(text, self.n):
+            h = c.get(g)
+            if h is None:
+                h = c[g] = md5_int(g, 7)  # 28-bit: a*h+b stays in int64
+            hs.append(h)
+        return np.asarray(hs, dtype=np.int64)
+
+    def signature(self, text: str) -> np.ndarray:
+        hs = self._gram_hashes(text)
+        if len(hs) == 0:
+            return np.full(self.num_perm, P31 - 1, dtype=np.int64)
+        # (num_perm, n_grams) permuted values; min over grams
+        vals = (self.a[:, None] * hs[None, :] + self.b[:, None]) % P31
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        out_id, out_band, out_bucket, out_sig = [], [], [], []
+        for did, txt in zip(ids, batch[self.text_col].to_pylist()):
+            sig = self.signature(txt)
+            for b in range(self.bands):
+                band = sig[b * self.rows : (b + 1) * self.rows]
+                bucket = md5_int(f"{b}:" + ",".join(map(str, band.tolist())))
+                out_id.append(did)
+                out_band.append(b)
+                out_bucket.append(bucket)
+                out_sig.append(sig)
+        return pa.table({
+            self.id_col: pa.array(out_id, pa.int64()),
+            "band": pa.array(out_band, pa.int64()),
+            "bucket": pa.array(out_bucket, pa.int64()),
+            "sig": pa.array([s.tolist() for s in out_sig], pa.list_(pa.int64())),
+        })
+
+
+def minhash_lsh_pairs(ds, num_perm: int = 128, bands: int = 32, n: int = 3,
+                      tau: float = 0.5, seed: int = 11,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      concurrency: int | tuple = (1, 8)):
+    """MinHash+LSH near-dup candidates with signature-estimated Jaccard:
+
+      signatures (actor pool) → groupby(band,bucket): per-bucket pairwise
+      signature agreement → dedup pairs across bands (min est is
+      deterministic; all bands compute the same est) → est ≥ tau.
+
+    The signature est converges to true Jaccard (±1/sqrt(num_perm)); exact
+    post-verification is :func:`ngram_jaccard_pairs` restricted to these
+    candidates. Rows-only correctness check (seeded, not SQL-expressible);
+    pytest cross-checks recall against the exact join at small scale.
+    """
+    sigs = ds.map_batches(
+        MinHashSignatures,
+        batch_format="pyarrow",
+        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, n=n, seed=seed,
+                                   text_col=text_col, id_col=id_col),
+        concurrency=concurrency,
+    )
+
+    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "est_jaccard": pd.Series([], dtype=np.float64)})
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        sig = np.stack(g["sig"].to_numpy())
+        ia, ib = np.triu_indices(len(ids), 1)
+        est = (sig[ia] == sig[ib]).mean(axis=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib], "est_jaccard": est})
+
+    pairs = sigs.groupby(["band", "bucket"]).map_groups(_bucket_pairs, batch_format="pandas")
+
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    uniq = pairs.groupby(["doc_a", "doc_b"]).map_groups(_dedup, batch_format="pandas")
+    return uniq.map_batches(
+        lambda df: df[df["est_jaccard"] >= tau], batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (60-bit, md5-portable) + pigeonhole-exact banded near-dup
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+class SimHasher:
+    """Actor-pool stage: 60-bit simhash over whitespace tokens, token weight =
+    occurrence count, bit b set iff Σ ±count ≥ 0. Token→hash memoised per
+    actor. md5-portable ⇒ reproduced exactly by a generated DuckDB oracle."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 out_col: str = "simhash"):
+        self.text_col, self.id_col, self.out_col = text_col, id_col, out_col
+        self._cache: dict[str, int] = {}
+        self._bits = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def simhash(self, text: str) -> int:
+        from collections import Counter
+
+        counts = Counter(text.split(" "))
+        c = self._cache
+        toks = list(counts)
+        hs = np.empty(len(toks), dtype=np.int64)
+        for i, t in enumerate(toks):
+            h = c.get(t)
+            if h is None:
+                h = c[t] = md5_int(t)
+            hs[i] = h
+        w = np.asarray([counts[t] for t in toks], dtype=np.int64)
+        bitmat = ((hs[:, None] >> self._bits[None, :]) & 1) * 2 - 1
+        v = (bitmat * w[:, None]).sum(axis=0)
+        return int(((v >= 0).astype(np.int64) << self._bits).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self.simhash(t) for t in batch[self.text_col].to_pylist()]
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            self.out_col: pa.array(out, pa.int64()),
+        })
+
+
+def simhash_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Generated DuckDB twin of :class:`SimHasher` (60 bit-sum terms)."""
+    th = md5_int_sql("tok")
+    terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN ((th >> {b}) & 1) = 1 THEN 1 ELSE -1 END) >= 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS tok FROM {table}),
+h AS (SELECT {id_col}, {th} AS th FROM toks)
+SELECT {id_col}, {terms} AS simhash FROM h GROUP BY {id_col}
+"""
+
+
+def simhash_dataset(ds, concurrency: int | tuple = (1, 8), **kw):
+    return ds.map_batches(
+        SimHasher, batch_format="pyarrow", fn_constructor_kwargs=kw,
+        concurrency=concurrency,
+    )
+
+
+def simhash_neardup_pairs(ds, max_hamming: int = 3, bands: int = 4,
+                          concurrency: int | tuple = (1, 8)):
+    """Near-dup pairs at hamming distance ≤ d over the 60-bit simhash.
+
+    Banding with ``bands`` equal bit-slices is EXACT for d < bands by
+    pigeonhole (d differing bits cannot touch every band, so every
+    qualifying pair collides in ≥ 1 band) — the distributed banded join
+    returns exactly the all-pairs result, no recall loss. Default d=3,
+    bands=4 (15-bit keys).
+    """
+    assert max_hamming < bands
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    sh = simhash_dataset(ds, concurrency=concurrency)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy(zero_copy_only=False)
+        ids = t[t.column_names[0]].to_numpy(zero_copy_only=False)
+        n = len(h)
+        out_id = np.repeat(ids, bands)
+        out_h = np.repeat(h, bands)
+        band = np.tile(np.arange(bands, dtype=np.int64), n)
+        key = (out_h >> (band * width)) & mask
+        return pa.table({
+            "doc_id": out_id, "simhash": out_h, "band": band, "key": key,
+        })
+
+    exploded = sh.map_batches(_explode, batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        g = g.sort_values("doc_id", kind="mergesort")
+        ids = g["doc_id"].to_numpy()
+        h = g["simhash"].to_numpy()
+        ia, ib = np.triu_indices(len(ids), 1)
+        x = h[ia] ^ h[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        while True:
+            nz = x != 0
+            if not nz.any():
+                break
+            ham[nz] += 1
+            x = x & (x - 1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
+                             "hamming": ham[keep]})
+
+    pairs = exploded.groupby(["band", "key"]).map_groups(_pairs, batch_format="pandas")
+
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(_dedup, batch_format="pandas")
+
+
+def simhash_neardup_sql(table: str, max_hamming: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id") -> str:
+    """All-pairs oracle: banding above is pigeonhole-exact, so this IS the
+    same result set."""
+    inner = simhash_sql(table, text_col, id_col)
+    return f"""
+WITH sh AS ({inner})
+SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.{id_col} < b.{id_col}
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

@@ -1,0 +1,257 @@
+"""Similarity search over an embedding column (list<float>).
+
+Ray-Data-native ANN building blocks:
+
+- :func:`ann_topk` — distributed brute-force cosine top-k: the (small)
+  query matrix is ``ray.put`` once; every batch computes an integer
+  matmul against it and emits only its local top-k rows per query; a
+  grouped reduction keeps the global top-k. The reduction ships k·Q rows
+  per batch — never the vectors.
+- :func:`embed_neardup` — exact all-pairs cosine threshold join as a
+  distributed block-nested-loop (each batch × broadcast matrix). The
+  oracle-exact baseline; quadratic, so the scale path is below.
+- :func:`embed_neardup_lsh` — random-hyperplane LSH: multi-table banded
+  signatures → per-bucket exact verification. Subset of the exact result
+  (recall < 1 by design); checked by pytest recall tests, rows-only for
+  the driver.
+
+Exactness contract: embeddings are quantized to int64 (×1000, round) so
+every dot product and squared norm is an exact integer; cosine is then ONE
+IEEE-double expression ``dot / (sqrt(na)·sqrt(nb))`` — bit-identical in
+numpy and DuckDB regardless of summation order (integer-valued doubles
+< 2^53 add exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+QUANT = 1000.0
+
+
+def quantize(mat: np.ndarray) -> np.ndarray:
+    return np.rint(np.asarray(mat, dtype=np.float64) * QUANT).astype(np.int64)
+
+
+def quantize_sql(col: str = "embedding") -> str:
+    return f"list_transform({col}, x -> CAST(ROUND(x * {QUANT!r}) AS BIGINT))"
+
+
+def _batch_qmat(t: pa.Table, emb_col: str) -> np.ndarray:
+    col = t[emb_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return quantize(np.stack(col.to_numpy(zero_copy_only=False)))
+
+
+def load_query_matrix(path: str, query_ids: list[int], id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> np.ndarray:
+    """Driver-side load of the (tiny) query vectors, ordered by query id."""
+    t = pq.read_table(path, columns=[id_col, emb_col])
+    df = t.to_pandas().set_index(id_col).loc[list(query_ids)]
+    return quantize(np.stack(df[emb_col].to_numpy()))
+
+
+def cosine_from_ints(dots: np.ndarray, na: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    """cos = dot / (sqrt(na) * sqrt(nb)) — the single portable float expr."""
+    return dots.astype(np.float64) / (
+        np.sqrt(na.astype(np.float64)) * np.sqrt(nb.astype(np.float64))
+    )
+
+
+def ann_topk(ds, query_matrix: np.ndarray, k: int,
+             id_col: str = "vec_id", emb_col: str = "embedding") -> pd.DataFrame:
+    """Brute-force cosine top-k per query, distributed with per-batch pruning.
+
+    Returns (query_id, vec_id, cos, rank) — ties broken by vec_id asc.
+    Self-matches are NOT excluded (a query that exists in the corpus ranks
+    itself first with cos == 1.0, same as the SQL oracle).
+    """
+    qz = np.asarray(query_matrix, dtype=np.int64)
+    qn = (qz * qz).sum(axis=1)
+    q_ref = ray.put((qz, qn))
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        qz_, qn_ = ray.get(q_ref)
+        ez = _batch_qmat(t, emb_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        en = (ez * ez).sum(axis=1)
+        dots = ez @ qz_.T  # exact int64
+        cos = cosine_from_ints(dots, en[:, None], qn_[None, :])
+        out_q, out_id, out_c = [], [], []
+        take = min(k, len(ids))
+        for qi in range(qz_.shape[0]):
+            order = np.lexsort((ids, -cos[:, qi]))[:take]
+            out_q.append(np.full(take, qi, dtype=np.int64))
+            out_id.append(ids[order])
+            out_c.append(cos[order, qi])
+        return pa.table({
+            "query_id": np.concatenate(out_q),
+            id_col: np.concatenate(out_id),
+            "cos": np.concatenate(out_c),
+        })
+
+    parts = ds.map_batches(
+        _local_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = (
+        parts.sort_values(["query_id", "cos", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=True, group_keys=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out
+
+
+def ann_topk_sql(table: str, query_ids: list[int], k: int,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 dim: int = 64) -> str:
+    qe = quantize_sql(emb_col)
+    ids = ", ".join(str(i) for i in query_ids)
+    order = ", ".join(f"({i}, {qi})" for qi, i in enumerate(query_ids))
+    return f"""
+WITH z AS (SELECT {id_col}, {qe} AS e FROM {table}),
+nz AS (SELECT {id_col}, e,
+       (SELECT SUM(e[i] * e[i]) FROM generate_series(1, {dim}) t(i)) AS nn FROM z),
+qmap(qid, query_id) AS (VALUES {order}),
+q AS (SELECT query_id, e AS qe, nn AS qn FROM nz JOIN qmap ON {id_col} = qid),
+d AS (SELECT q.query_id, nz.{id_col},
+        (SELECT SUM(qe[i] * nz.e[i]) FROM generate_series(1, {dim}) t(i)) AS dot,
+        nz.nn AS en, q.qn FROM q, nz),
+c AS (SELECT query_id, {id_col},
+        CAST(dot AS DOUBLE) / (SQRT(CAST(en AS DOUBLE)) * SQRT(CAST(qn AS DOUBLE))) AS cos
+      FROM d)
+SELECT query_id, {id_col}, cos,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, {id_col}) AS rank
+FROM c QUALIFY rank <= {k}
+"""
+
+
+def embed_neardup(ds, tau: float = 0.4, id_col: str = "vec_id",
+                  emb_col: str = "embedding", corpus_path: str | None = None):
+    """Exact cosine-threshold self-join (block-nested-loop): each batch
+    matmuls against the broadcast full quantized matrix; pairs (a < b) with
+    cos ≥ tau are emitted. The broadcast side is built ONCE on the driver
+    and shared zero-copy via the object store. Quadratic — the LSH variant
+    below is the 100 TB path; this one is the oracle-checked baseline.
+    """
+    t = pq.read_table(corpus_path, columns=[id_col, emb_col])
+    all_ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = quantize(np.stack(t[emb_col].combine_chunks().to_numpy(zero_copy_only=False)))
+    norms = (mat * mat).sum(axis=1)
+    ref = ray.put((all_ids, mat, norms))
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        ids_all, m_all, n_all = ray.get(ref)
+        ez = _batch_qmat(b, emb_col)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        en = (ez * ez).sum(axis=1)
+        dots = ez @ m_all.T
+        cos = cosine_from_ints(dots, en[:, None], n_all[None, :])
+        lt = ids[:, None] < ids_all[None, :]
+        hit = (cos >= tau) & lt
+        ia, ib = np.nonzero(hit)
+        return pa.table({
+            "doc_a": pa.array(ids[ia]),
+            "doc_b": pa.array(ids_all[ib]),
+            "cos": pa.array(cos[ia, ib]),
+        })
+
+    return ds.map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embed_neardup_sql(table: str, tau: float = 0.4, id_col: str = "vec_id",
+                      emb_col: str = "embedding", dim: int = 64) -> str:
+    qe = quantize_sql(emb_col)
+    return f"""
+WITH z AS (SELECT {id_col}, {qe} AS e FROM {table}),
+nz AS (SELECT {id_col}, e,
+       (SELECT SUM(e[i] * e[i]) FROM generate_series(1, {dim}) t(i)) AS nn FROM z),
+p AS (SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+        (SELECT SUM(a.e[i] * b.e[i]) FROM generate_series(1, {dim}) t(i)) AS dot,
+        a.nn AS na, b.nn AS nb
+      FROM nz a, nz b WHERE a.{id_col} < b.{id_col})
+SELECT doc_a, doc_b,
+       CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) AS cos
+FROM p
+WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) >= {tau!r}
+"""
+
+
+class _HyperplaneSigner:
+    """Actor-pool stage: seeded random hyperplanes drawn once per actor;
+    emits one row per (vector, table): 16-bit sign-signature bucket."""
+
+    def __init__(self, n_tables: int, bits: int, dim: int, seed: int,
+                 id_col: str, emb_col: str):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_tables, dim, bits))
+        self.n_tables, self.bits = n_tables, bits
+        self.id_col, self.emb_col = id_col, emb_col
+        self._pows = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ez = _batch_qmat(t, self.emb_col).astype(np.float64)
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id, out_tab, out_key, out_vec = [], [], [], []
+        for tab in range(self.n_tables):
+            signs = (ez @ self.planes[tab]) > 0
+            keys = (signs.astype(np.int64) * self._pows[None, :]).sum(axis=1)
+            out_id.append(ids)
+            out_tab.append(np.full(len(ids), tab, dtype=np.int64))
+            out_key.append(keys)
+        ez_int = _batch_qmat(t, self.emb_col)
+        vec_list = pa.array(
+            np.tile(ez_int, (self.n_tables, 1)).tolist(), pa.list_(pa.int64())
+        )
+        return pa.table({
+            self.id_col: np.concatenate(out_id),
+            "tab": np.concatenate(out_tab),
+            "key": np.concatenate(out_key),
+            "vec": vec_list,
+        })
+
+
+def embed_neardup_lsh(ds, tau: float = 0.4, n_tables: int = 24, bits: int = 5,
+                      seed: int = 23, id_col: str = "vec_id",
+                      emb_col: str = "embedding",
+                      concurrency: int | tuple = (1, 8)):
+    """Scale path: random-hyperplane LSH buckets → per-bucket exact cosine
+    verification → pair dedup. Output ⊆ exact result; recall grows with
+    n_tables (collision prob per table = (1 − θ/π)^bits).
+    """
+    dim = len(ds.take(1)[0][emb_col])
+    sigs = ds.map_batches(
+        _HyperplaneSigner, batch_format="pyarrow",
+        fn_constructor_args=(n_tables, bits, dim, seed, id_col, emb_col),
+        concurrency=concurrency,
+    )
+
+    def _verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "cos": pd.Series([], dtype=np.float64)})
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        m = np.stack(g["vec"].to_numpy()).astype(np.int64)
+        n = (m * m).sum(axis=1)
+        dots = m @ m.T
+        cos = cosine_from_ints(dots, n[:, None], n[None, :])
+        ia, ib = np.triu_indices(len(ids), 1)
+        keep = cos[ia, ib] >= tau
+        return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
+                             "cos": cos[ia, ib][keep]})
+
+    pairs = sigs.groupby(["tab", "key"]).map_groups(_verify, batch_format="pandas")
+
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(_dedup, batch_format="pandas")

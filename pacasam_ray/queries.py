@@ -609,6 +609,205 @@ GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# Text analysis (functions/text.py)
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str, cols=("doc_id", "text")):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(cols))
+
+
+def q_text_quality(sf_dir: str):
+    """Quality scoring: length/punct/stopword features + composite score."""
+    from .functions.text import quality_features
+
+    return _docs(sf_dir).map_batches(
+        quality_features, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    """Content fingerprint (md5 of text bytes)."""
+    from .functions.text import md5_fingerprint
+
+    return _docs(sf_dir).map_batches(
+        md5_fingerprint, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_lang_id(sf_dir: str):
+    """Language-ID heuristic (actor pool; profiles compiled per actor).
+    Rows-only: the n-gram scoring heuristic is not SQL-expressible."""
+    from .functions.text import LangId
+
+    return _docs(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+# ---------------------------------------------------------------------------
+# Deduplication suite (functions/dedup.py)
+# ---------------------------------------------------------------------------
+
+DUP_OFFSET = 1_000_000  # synthetic duplicate ids = doc_id + offset
+
+
+def _docs_with_dups(sf_dir: str):
+    """documents ∪ (same text, shifted ids): makes exact dedup non-trivial."""
+    ds = _docs(sf_dir)
+    shifted = ds.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("doc_id"), "doc_id",
+            pc.add(t["doc_id"], DUP_OFFSET)),
+        batch_format="pyarrow",
+    )
+    return ds.union(shifted)
+
+
+def q_dedup_text(sf_dir: str):
+    """Exact content dedup over a corpus with planted exact duplicates:
+    md5(text) hash-shuffle, min-id representative (originals win)."""
+    from .functions.dedup import dedup_text_exact
+
+    return dedup_text_exact(_docs_with_dups(sf_dir))
+
+
+SQL_DEDUP_TEXT = f"""
+WITH both_ AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + {DUP_OFFSET}, text FROM documents
+)
+SELECT doc_id, text, md5(text) AS content_key FROM both_
+QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""
+
+JACCARD_TAU = 0.5
+HAMMING_D = 3
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact word-3-gram Jaccard similarity join (inverted-index shuffle)."""
+    from .functions.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(sf_dir), n=3, tau=JACCARD_TAU)
+    return out.map_batches(
+        lambda t: t.select(["doc_a", "doc_b", "jaccard"]), batch_format="pyarrow"
+    )
+
+
+def q_simhash(sf_dir: str):
+    """60-bit md5-portable SimHash per document (actor-pool stage)."""
+    from .functions.dedup import simhash_dataset
+
+    return simhash_dataset(_docs(sf_dir))
+
+
+def q_simhash_neardup(sf_dir: str):
+    """Near-dup pairs at hamming ≤ 3 via pigeonhole-exact 4-band LSH —
+    distributed banded join, provably equal to the all-pairs oracle."""
+    from .functions.dedup import simhash_neardup_pairs
+
+    out = simhash_neardup_pairs(_docs(sf_dir), max_hamming=HAMMING_D)
+    return out.map_batches(
+        lambda df: df[["doc_a", "doc_b", "hamming"]], batch_format="pandas"
+    )
+
+
+def q_minhash_lsh(sf_dir: str):
+    """MinHash(128)+LSH(32 bands) candidate pairs with estimated Jaccard.
+    Rows-only (seeded permutations); pytest checks recall vs the exact join."""
+    from .functions.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(_docs(sf_dir), tau=JACCARD_TAU)
+    return out.map_batches(
+        lambda df: df[["doc_a", "doc_b", "est_jaccard"]], batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (functions/similarity.py)
+# ---------------------------------------------------------------------------
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+NEARDUP_TAU = 0.4
+EMB_DIM = 64
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k (broadcast query matrix, per-batch pruning).
+    Bit-exact via int64 quantization: every dot/norm is an exact integer."""
+    from .functions.similarity import ann_topk, load_query_matrix
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    qm = load_query_matrix(path, ANN_QUERY_IDS)
+    return ann_topk(ds, qm, ANN_K)
+
+
+def q_embed_neardup(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs (block-nested-loop join)."""
+    from .functions.similarity import embed_neardup
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return embed_neardup(ds, tau=NEARDUP_TAU, corpus_path=path)
+
+
+def q_embed_neardup_lsh(sf_dir: str):
+    """Random-hyperplane LSH near-dup (scale path; recall < 1 by design —
+    rows-only; pytest asserts subset-of-exact + recall floor)."""
+    from .functions.similarity import embed_neardup_lsh
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = embed_neardup_lsh(ds, tau=NEARDUP_TAU)
+    return out.map_batches(
+        lambda df: df[["doc_a", "doc_b", "cos"]], batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (functions/multimodal.py)
+# ---------------------------------------------------------------------------
+
+def _media(sf_dir: str):
+    from .functions.multimodal import media_from_pages
+
+    return media_from_pages(pages_from_documents(sf_dir))
+
+
+def q_media_meta(sf_dir: str):
+    """Typed media metadata derived from binary payloads."""
+    from .functions.multimodal import media_meta
+
+    return media_meta(_media(sf_dir))
+
+
+def q_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing: one row per kept frame (ids+indices
+    are oracle-checked; frame BYTES are asserted by pytest — blob hashing
+    is engine-specific)."""
+    from .functions.multimodal import frame_sample
+
+    out = frame_sample(_media(sf_dir), stride=4)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "frame_idx"]), batch_format="pyarrow"
+    )
+
+
+def q_image_decode(sf_dir: str):
+    """Fake-decode + feature-extract + thumbnail actor pool (rows-only:
+    pixel stats come from the stubbed decoder)."""
+    from .functions.multimodal import decode_images
+
+    out = decode_images(_media(sf_dir))
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "mean_px", "std_px"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sampler pipelines (seeded/iterative — rows-only checks; conformance is
 # asserted by pytest per the reference's own test strategy, SURVEY.md §5)
 # ---------------------------------------------------------------------------
@@ -651,6 +850,20 @@ def build_queries() -> dict:
         "zone_filter": q_zone_filter,
         "knn": q_knn,
         "extract_pipeline": q_extract_pipeline,
+        "text_quality": q_text_quality,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "dedup_text": q_dedup_text,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "minhash_lsh": q_minhash_lsh,
+        "ann_topk": q_ann_topk,
+        "embed_neardup": q_embed_neardup,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
+        "media_meta": q_media_meta,
+        "frame_sample": q_frame_sample,
+        "image_decode": q_image_decode,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -683,4 +896,68 @@ def build_oracle_sql() -> dict:
         "zone_filter": SQL_ZONE_FILTER,
         "knn": SQL_KNN,
         "extract_pipeline": SQL_EXTRACT_PIPELINE,
+        "text_quality": _sql_text_quality(),
+        "fingerprint": _sql_fingerprint(),
+        "dedup_text": SQL_DEDUP_TEXT,
+        "ngram_jaccard": _sql_ngram_jaccard(),
+        "simhash": _sql_simhash(),
+        "simhash_neardup": _sql_simhash_neardup(),
+        "ann_topk": _sql_ann_topk(),
+        "embed_neardup": _sql_embed_neardup(),
+        "media_meta": _sql_media_meta(),
+        "frame_sample": _sql_frame_sample(),
     }
+
+
+def _sql_text_quality() -> str:
+    from .functions.text import quality_features_sql
+
+    return quality_features_sql("documents")
+
+
+def _sql_fingerprint() -> str:
+    from .functions.text import md5_fingerprint_sql
+
+    return md5_fingerprint_sql("documents")
+
+
+def _sql_ngram_jaccard() -> str:
+    from .functions.dedup import ngram_jaccard_sql
+
+    return ngram_jaccard_sql("documents", n=3, tau=JACCARD_TAU)
+
+
+def _sql_simhash() -> str:
+    from .functions.dedup import simhash_sql
+
+    return simhash_sql("documents")
+
+
+def _sql_simhash_neardup() -> str:
+    from .functions.dedup import simhash_neardup_sql
+
+    return simhash_neardup_sql("documents", max_hamming=HAMMING_D)
+
+
+def _sql_ann_topk() -> str:
+    from .functions.similarity import ann_topk_sql
+
+    return ann_topk_sql("embeddings", ANN_QUERY_IDS, ANN_K, dim=EMB_DIM)
+
+
+def _sql_embed_neardup() -> str:
+    from .functions.similarity import embed_neardup_sql
+
+    return embed_neardup_sql("embeddings", tau=NEARDUP_TAU, dim=EMB_DIM)
+
+
+def _sql_media_meta() -> str:
+    from .functions.multimodal import media_meta_sql
+
+    return media_meta_sql("documents")
+
+
+def _sql_frame_sample() -> str:
+    from .functions.multimodal import frame_sample_sql
+
+    return frame_sample_sql("documents", stride=4)

@@ -1,0 +1,172 @@
+"""Tests for the training-data function suite: dedup, similarity search,
+text analysis, multimodal plumbing. Oracle-backed queries are covered by
+test_oracle_parity.py; this file covers the seeded/heuristic (rows-only)
+operators and the cross-checks between approximate and exact variants."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from conftest import SF_DIR
+
+DOCS = f"{SF_DIR}/documents.parquet"
+EMBS = f"{SF_DIR}/embeddings.parquet"
+
+
+def docs_ds():
+    return ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+
+
+def embs_ds():
+    return ray.data.read_parquet(EMBS, columns=["vec_id", "embedding"])
+
+
+# --- dedup ------------------------------------------------------------------
+
+def test_minhash_lsh_recall_vs_exact():
+    from pacasam_ray.functions.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(docs_ds(), n=3, tau=0.5).to_pandas()
+    approx = minhash_lsh_pairs(docs_ds(), tau=0.5).to_pandas()
+    ep = set(zip(exact["doc_a"].astype(int), exact["doc_b"].astype(int)))
+    ap = set(zip(approx["doc_a"].astype(int), approx["doc_b"].astype(int)))
+    assert len(ep) > 0, "test corpus should contain planted near-dups"
+    recall = len(ap & ep) / len(ep)
+    assert recall >= 0.9, f"minhash recall {recall}"
+    # signature estimate within sketch error of true jaccard for true pairs
+    est = {(a, b): e for a, b, e in zip(approx["doc_a"].astype(int),
+                                        approx["doc_b"].astype(int),
+                                        approx["est_jaccard"])}
+    for _, r in exact.iterrows():
+        key = (int(r["doc_a"]), int(r["doc_b"]))
+        if key in est:
+            assert abs(est[key] - r["jaccard"]) < 0.25
+
+
+def test_minhash_partition_invariance():
+    from pacasam_ray.functions.dedup import minhash_lsh_pairs
+
+    a = minhash_lsh_pairs(docs_ds(), tau=0.5).to_pandas()
+    b = minhash_lsh_pairs(
+        docs_ds().repartition(13), tau=0.5
+    ).to_pandas()
+    ka = sorted(zip(a["doc_a"].astype(int), a["doc_b"].astype(int)))
+    kb = sorted(zip(b["doc_a"].astype(int), b["doc_b"].astype(int)))
+    assert ka == kb
+
+
+def test_simhash_banding_is_exact():
+    """Pigeonhole: 4 bands / d=3 banded join == brute-force all pairs."""
+    from pacasam_ray.functions.dedup import simhash_dataset, simhash_neardup_pairs
+
+    sh = simhash_dataset(docs_ds()).to_pandas()
+    h = dict(zip(sh["doc_id"].astype(int), sh["simhash"].astype(int)))
+    ids = sorted(h)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(h[a] ^ h[b]).count("1") <= 3
+    }
+    banded = simhash_neardup_pairs(docs_ds(), max_hamming=3).to_pandas()
+    got = set(zip(banded["doc_a"].astype(int), banded["doc_b"].astype(int)))
+    assert got == brute
+
+
+def test_dedup_text_removes_planted_duplicates(duck):
+    from pacasam_ray.queries import DUP_OFFSET, q_dedup_text
+
+    out = q_dedup_text(SF_DIR).to_pandas()
+    n_docs = duck.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert len(out) == n_docs  # half of the doubled corpus survives
+    assert (out["doc_id"] < DUP_OFFSET).all()  # min-id reps = originals
+
+
+# --- similarity -------------------------------------------------------------
+
+def test_embed_lsh_subset_and_recall():
+    from pacasam_ray.functions.similarity import embed_neardup, embed_neardup_lsh
+
+    exact = embed_neardup(embs_ds(), tau=0.4, corpus_path=EMBS).to_pandas()
+    lsh = embed_neardup_lsh(embs_ds(), tau=0.4).to_pandas()
+    ep = set(zip(exact["doc_a"].astype(int), exact["doc_b"].astype(int)))
+    lp = set(zip(lsh["doc_a"].astype(int), lsh["doc_b"].astype(int)))
+    assert lp <= ep, "LSH must never emit a below-threshold pair (exact verify)"
+    assert len(ep) > 0
+    assert len(lp & ep) / len(ep) >= 0.5
+
+
+def test_ann_topk_batch_invariance():
+    """Per-batch pruning must not depend on block layout."""
+    from pacasam_ray.functions.similarity import ann_topk, load_query_matrix
+
+    qm = load_query_matrix(EMBS, [0, 1, 2])
+    a = ann_topk(embs_ds(), qm, 5)
+    b = ann_topk(embs_ds().repartition(11), qm, 5)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ann_topk_self_match():
+    from pacasam_ray.functions.similarity import ann_topk, load_query_matrix
+
+    qm = load_query_matrix(EMBS, [7])
+    out = ann_topk(embs_ds(), qm, 3)
+    top = out[out["rank"] == 1].iloc[0]
+    assert int(top["vec_id"]) == 7 and top["cos"] == 1.0
+
+
+# --- text analysis ----------------------------------------------------------
+
+def test_lang_id_schema_and_domain():
+    from pacasam_ray.queries import q_lang_id
+
+    out = q_lang_id(SF_DIR).to_pandas()
+    assert set(out.columns) == {"doc_id", "lang_pred"}
+    assert out["lang_pred"].isin(["en", "fr", "de", "es", "zh"]).all()
+    assert len(out) == 500
+
+
+def test_winnowing_fingerprint_properties():
+    from pacasam_ray.functions.text import winnowing_fingerprint
+
+    a = winnowing_fingerprint("the quick brown fox jumps over the lazy dog")
+    b = winnowing_fingerprint("the quick brown fox jumps over the lazy dog")
+    assert a == b and len(a) > 0
+    c = winnowing_fingerprint("a completely different sentence here")
+    assert a != c
+    assert winnowing_fingerprint("abc", k=5) == []
+
+
+# --- multimodal -------------------------------------------------------------
+
+def test_image_decode_plumbing():
+    from pacasam_ray.queries import _media
+    from pacasam_ray.functions.multimodal import decode_images
+
+    out = decode_images(_media(SF_DIR), thumb=8).to_pandas()
+    assert set(out.columns) == {"doc_id", "mean_px", "std_px", "thumb"}
+    assert (out["doc_id"] % 3 == 0).all()  # only 'image' rows decoded
+    assert all(len(t) == 64 for t in out["thumb"])  # 8x8 uint8 thumbnails
+    assert (out["mean_px"] > 0).all()
+
+
+def test_real_decoder_is_stubbed():
+    from pacasam_ray.functions.multimodal import ImageDecoder
+
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(fake=False).decode(b"\x89PNG")
+
+
+def test_frame_sample_bytes_roundtrip():
+    """Frame payload bytes must be exact slices of the source payload."""
+    from pacasam_ray.queries import _media
+    from pacasam_ray.functions.multimodal import FRAME_BYTES, frame_sample
+
+    media = _media(SF_DIR).to_pandas().set_index("doc_id")
+    frames = frame_sample(_media(SF_DIR), stride=4).to_pandas()
+    assert len(frames) > 0
+    sample = frames.head(50)
+    for _, r in sample.iterrows():
+        payload = media.loc[int(r["doc_id"]), "payload"]
+        fi = int(r["frame_idx"])
+        assert r["frame"] == payload[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
