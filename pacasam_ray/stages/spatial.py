@@ -111,16 +111,35 @@ class _AssignZones:
 
 
 def assign_zones(ds, polys: list[np.ndarray], x_col: str = "x", y_col: str = "y",
-                 zone_col: str = "zone_id", concurrency: int | tuple = (1, 8)):
-    """Broadcast spatial join: stamp each row with its first-match zone id."""
+                 zone_col: str = "zone_id", concurrency: int | tuple | None = None,
+                 stateful: bool = False):
+    """Broadcast spatial join: stamp each row with its first-match zone id.
+
+    ``stateful=False`` (default): stateless tasks rebuild the tiny index per
+    task from the broadcast polygon ref — full task parallelism, no actor
+    ramp-up, and Ray can fuse it with upstream maps. Use ``stateful=True``
+    (actor pool, index built once per actor in ``__init__``) when the index
+    is heavy (thousands of polygons / a real STRtree): measured on the 1M-row
+    scaling workload, fusing the pipeline into a (1,16) autoscaling actor
+    pool CAPPED parallelism below the CPU count and anti-scaled 8→32 CPUs.
+    """
     polys_ref = ray.put([np.asarray(p, dtype=np.float64) for p in polys])
-    return ds.map_batches(
-        _AssignZones,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        fn_constructor_args=(polys_ref, x_col, y_col, zone_col),
-        concurrency=concurrency,
-    )
+    if stateful:
+        return ds.map_batches(
+            _AssignZones,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            fn_constructor_args=(polys_ref, x_col, y_col, zone_col),
+            concurrency=concurrency or (1, 8),
+        )
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        index = _ZoneIndex(ray.get(polys_ref))
+        px = batch[x_col].to_numpy(zero_copy_only=False)
+        py = batch[y_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(zone_col, pa.array(index.assign(px, py)))
+
+    return ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def filter_in_zones(ds, polys, **kw):
