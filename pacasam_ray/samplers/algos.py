@@ -25,7 +25,6 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..hashing import rank_key
 
@@ -85,6 +84,21 @@ def _per_group_take(quota_default: int):
     return _take
 
 
+def strata_counts(ranked, strata: str) -> pd.DataFrame:
+    """Per-strata row counts WITHOUT a shuffle: per-batch partial
+    value_counts (combiner) → tiny driver-side merge. Strata cardinality is
+    small (slab keys), so each batch ships ≤ nunique rows."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vc = pa.TableGroupBy(batch.select([strata]), strata).aggregate(
+            [([], "count_all")]
+        )
+        return vc.rename_columns([strata, "n"])
+
+    parts = ranked.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    return parts.groupby(strata, sort=False)["n"].sum().reset_index()
+
+
 def sample_with_stratification(
     ds,
     n: int,
@@ -97,63 +111,183 @@ def sample_with_stratification(
 
     Round 0: per-strata take ``max(1, n // nunique)`` lowest-rank rows;
     overshoot ⇒ trim globally by rank. While undershoot: exclude already
-    selected ids (broadcast anti-join), take 1 more per strata, trim, loop.
-    Deterministic: per-row ranks are pure functions of (patch_id, salt, round).
+    selected ids, take 1 more per strata, trim, loop.
+
+    Physical plan (2 scans, 1 pruned shuffle — no materialization, no
+    per-round cluster passes):
+    1. shuffle-free per-batch partial counts → exact strata sizes;
+    2. from the sizes, solve the reference recurrence for the exact
+       completion depth r* (smallest r with Σ min(size, quota+r) ≥ n) and
+       fetch each stratum's ``quota + r* + 1`` lowest-rank rows (per-batch
+       pre-prune, then a groupby shuffle that moves only pruned rows);
+    3. replay the reference's round-0/completion loop driver-side over the
+       per-stratum reserves — bit-identical to running the rounds
+       distributed, because each round consumes ranks in prefix order so no
+       round can reach deeper than quota + rounds.
+    Deterministic: per-row ranks are pure functions of (patch_id, salt).
     """
     cols = list(dict.fromkeys((columns or ["patch_id", strata]) + [strata]))
-    # The ranked projection is ids + strata + rank only (payloads never enter
-    # the shuffle); materialized because the completion loop re-scans it.
-    ranked = add_rank(ds, salt, columns=cols).materialize()
+    ranked = add_rank(ds, salt, columns=cols)
 
-    # ONE small groupby-count gives both the total row count (early-return
-    # check, reference algos.py:26-27) and the distinct-strata count (A1).
-    counts = ranked.groupby(strata).count().to_pandas()
-    total = int(counts["count()"].sum())
+    counts = strata_counts(ranked, strata)
     nunique = len(counts)
     if nunique == 0 or n <= 0:
         return pd.DataFrame(columns=cols)
+    total = int(counts["n"].sum())
     if total <= n:
         return ranked.drop_columns([RANK_COL]).to_pandas()
     quota = max(1, n // nunique)
 
-    selected = (
-        ranked.groupby(strata)
-        .map_groups(_per_group_take(quota), batch_format="pandas")
+    sizes = counts["n"].to_numpy()
+    r = 0
+    while np.minimum(sizes, quota + r).sum() < n and r < max_rounds:
+        r += 1
+    depth = quota + r + 1
+
+    def _local_prune(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.sort_values([RANK_COL, "patch_id"], kind="mergesort")
+        return g.groupby(strata, sort=False, group_keys=False).head(depth)
+
+    reserve = (
+        ranked.map_batches(_local_prune, batch_format="pandas")
+        .groupby(strata)
+        .map_groups(_per_group_take(depth), batch_format="pandas")
         .to_pandas()
     )
-    selected = selected.sort_values([RANK_COL, "patch_id"], kind="mergesort").head(n)
 
+    reserve = reserve.sort_values([RANK_COL, "patch_id"], kind="mergesort")
+    selected = reserve.groupby(strata, sort=False, group_keys=False).head(quota)
+    selected = selected.sort_values([RANK_COL, "patch_id"], kind="mergesort").head(n)
     rounds = 0
     while len(selected) < n and rounds < max_rounds:
         rounds += 1
-        chosen = set(selected["patch_id"].tolist())
-        extra = (
-            ranked.map_batches(
-                _exclude_batch_fn(chosen),
-                batch_format="pandas",
-            )
-            .groupby(strata)
-            .map_groups(_per_group_take(1), batch_format="pandas")
-            .to_pandas()
-        )
-        if extra.empty:
+        rest = reserve[~reserve["patch_id"].isin(selected["patch_id"])]
+        if rest.empty:
             break
-        extra = extra.sort_values([RANK_COL, "patch_id"], kind="mergesort").head(n - len(selected))
+        extra = rest.groupby(strata, sort=False, group_keys=False).head(1)
+        extra = extra.sort_values([RANK_COL, "patch_id"], kind="mergesort").head(
+            n - len(selected)
+        )
         selected = pd.concat([selected, extra], ignore_index=True)
 
     return selected.drop(columns=[RANK_COL]).reset_index(drop=True)
 
 
-def _exclude_batch_fn(chosen: set):
-    arr = pa.array(list(chosen))
+def multi_stratified_sample(
+    ds,
+    specs: list[dict],
+    strata: str = "file_id",
+    columns: list[str] | None = None,
+    max_rounds: int = MAX_COMPLETION_ROUNDS,
+) -> dict[str, pd.DataFrame]:
+    """Fused O2 for many criteria in TWO cluster passes total.
 
-    def _f(batch: pd.DataFrame) -> pd.DataFrame:
-        mask = pc.is_in(pa.array(batch["patch_id"]), value_set=arr).to_numpy(
-            zero_copy_only=False
+    ``specs``: [{"name", "filter_col" (bool col or None), "n", "salt"}, ...].
+    Semantically identical to calling :func:`sample_with_stratification`
+    once per spec on the boolean-filtered pool (M1 → O2), but the counts
+    scan and the pruned reserve shuffle are shared across all specs —
+    TargettedSampler's per-criterion loop (reference targetted.py:28-39)
+    otherwise costs 2 cluster passes PER criterion.
+    Returns {name: selection DataFrame}.
+    """
+    cols = list(dict.fromkeys((columns or ["patch_id", strata]) + [strata]))
+    filter_cols = sorted({s["filter_col"] for s in specs if s["filter_col"]})
+    scan_cols = list(dict.fromkeys(cols + filter_cols))
+
+    def _tagged(batch: pa.Table) -> pa.Table:
+        t = batch.select(scan_cols)
+        outs = []
+        for si, spec in enumerate(specs):
+            sub = t.filter(t[spec["filter_col"]]) if spec["filter_col"] else t
+            sub = sub.select(cols)
+            r = rank_key(sub["patch_id"].to_numpy(zero_copy_only=False), spec["salt"])
+            sub = sub.append_column(RANK_COL, pa.array(r))
+            outs.append(sub.append_column("__spec", pa.array(
+                np.full(sub.num_rows, si, dtype=np.int64))))
+        return pa.concat_tables(outs)
+
+    tagged = ds.map_batches(_tagged, batch_format="pyarrow", zero_copy_batch=True)
+
+    # Pass 1: shuffle-free per-(spec, strata) counts.
+    def _partial_counts(batch: pa.Table) -> pa.Table:
+        vc = pa.TableGroupBy(batch.select(["__spec", strata]), ["__spec", strata]).aggregate(
+            [([], "count_all")]
         )
-        return batch[~mask]
+        return vc.rename_columns(["__spec", strata, "n"])
 
-    return _f
+    parts = tagged.map_batches(_partial_counts, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby(["__spec", strata], sort=False)["n"].sum().reset_index()
+
+    # Driver: per-spec quota + exact completion depth from the sizes.
+    depths: dict[int, int] = {}
+    quotas: dict[int, int] = {}
+    totals: dict[int, int] = {}
+    for si, spec in enumerate(specs):
+        sizes = counts.loc[counts["__spec"] == si, "n"].to_numpy()
+        nunique = len(sizes)
+        n = spec["n"]
+        totals[si] = int(sizes.sum())
+        if nunique == 0 or n <= 0:
+            quotas[si], depths[si] = 0, 0
+            continue
+        quota = max(1, n // nunique)
+        if totals[si] <= n:
+            # whole pool is returned: the reserve must hold every row
+            quotas[si], depths[si] = quota, int(sizes.max())
+            continue
+        r = 0
+        while np.minimum(sizes, quota + r).sum() < n and r < max_rounds:
+            r += 1
+        quotas[si], depths[si] = quota, quota + r + 1
+
+    max_depth = max(depths.values() or [0])
+
+    # Pass 2: per-batch prune → one shared shuffle on (spec, strata).
+    def _local_prune(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.sort_values([RANK_COL, "patch_id"], kind="mergesort")
+        g = g.groupby(["__spec", strata], sort=False, group_keys=False).head(max_depth)
+        return g
+
+    def _grouped_take(g: pd.DataFrame) -> pd.DataFrame:
+        si = int(g["__spec"].iloc[0])
+        gg = g.sort_values([RANK_COL, "patch_id"], kind="mergesort")
+        return gg.head(depths[si])
+
+    reserve_all = (
+        tagged.map_batches(_local_prune, batch_format="pandas")
+        .groupby(["__spec", strata])
+        .map_groups(_grouped_take, batch_format="pandas")
+        .to_pandas()
+    )
+
+    out: dict[str, pd.DataFrame] = {}
+    for si, spec in enumerate(specs):
+        n, quota = spec["n"], quotas[si]
+        reserve = reserve_all[reserve_all["__spec"] == si].drop(columns="__spec")
+        if quota == 0 or reserve.empty:
+            out[spec["name"]] = pd.DataFrame(columns=cols)
+            continue
+        if totals[si] <= n:
+            out[spec["name"]] = (
+                reserve.drop(columns=[RANK_COL]).reset_index(drop=True)
+            )
+            continue
+        reserve = reserve.sort_values([RANK_COL, "patch_id"], kind="mergesort")
+        selected = reserve.groupby(strata, sort=False, group_keys=False).head(quota)
+        selected = selected.sort_values([RANK_COL, "patch_id"], kind="mergesort").head(n)
+        rounds = 0
+        while len(selected) < n and rounds < max_rounds:
+            rounds += 1
+            rest = reserve[~reserve["patch_id"].isin(selected["patch_id"])]
+            if rest.empty:
+                break
+            extra = rest.groupby(strata, sort=False, group_keys=False).head(1)
+            extra = extra.sort_values([RANK_COL, "patch_id"], kind="mergesort").head(
+                n - len(selected)
+            )
+            selected = pd.concat([selected, extra], ignore_index=True)
+        out[spec["name"]] = selected.drop(columns=[RANK_COL]).reset_index(drop=True)
+    return out
 
 
 def yield_chunks(df: pd.DataFrame, max_chunk_size: int):

@@ -41,13 +41,16 @@ from .base import FILE_ID_COLNAME, PATCH_ID_COLNAME, Sampler
 
 
 def assign_positions(ds, strata: str = FILE_ID_COLNAME, id_col: str = PATCH_ID_COLNAME,
-                     pos_col: str = "__pos"):
+                     pos_col: str = "__pos", counts: pd.DataFrame | None = None):
     """Stamp each row with its global rank under (strata, id) lexicographic
     order, via per-strata offsets (no full sort shuffle)."""
-    counts = ds.groupby(strata).count().to_pandas()
+    from .algos import strata_counts
+
+    if counts is None:
+        counts = strata_counts(ds, strata)
     counts = counts.sort_values(strata, kind="mergesort")
     offsets = dict(
-        zip(counts[strata], np.concatenate([[0], counts["count()"].cumsum().to_numpy()[:-1]]))
+        zip(counts[strata], np.concatenate([[0], counts["n"].cumsum().to_numpy()[:-1]]))
     )
     off_ref = ray.put(offsets)
 
@@ -57,8 +60,7 @@ def assign_positions(ds, strata: str = FILE_ID_COLNAME, id_col: str = PATCH_ID_C
         g[pos_col] = offs[g[strata].iloc[0]] + np.arange(len(g), dtype=np.int64)
         return g
 
-    total = int(counts["count()"].sum())
-    return ds.groupby(strata).map_groups(_stamp, batch_format="pandas"), total
+    return ds.groupby(strata).map_groups(_stamp, batch_format="pandas")
 
 
 class DiversitySampler(Sampler):
@@ -69,21 +71,42 @@ class DiversitySampler(Sampler):
         cols = list(dcf["columns"])
         max_chunk = int(dcf["max_chunk_size_for_fps"])
 
+        from .algos import fps as fps_kernel, strata_counts
+
         ds = catalogue.select_columns(PATCH_INFO + cols)
+        counts = strata_counts(ds, FILE_ID_COLNAME)  # shuffle-free scan
+        total = int(counts["n"].sum())
+        if total == 0:
+            return pd.DataFrame(columns=self.sampling_schema)
+
         ds = normalize_dataset(
             ds, cols,
             normalization=dcf.get("normalization", "standardization"),
             n_quantiles=int(dcf.get("n_quantiles", 50)),
         )
-        ds, total = assign_positions(ds)
-        if total == 0:
-            return pd.DataFrame(columns=self.sampling_schema)
 
         name = self.name
         cf = dict(self.cf)
         schema = self.sampling_schema
         target_proportion = num_to_sample / total
         single_chunk = total <= max_chunk
+
+        if single_chunk:
+            # Reference regime: one chunk ⇒ FPS on the driver over the
+            # normalized projection (bounded by max_chunk rows — exactly
+            # what the reference holds in RAM, diversity.py:78-84). Saves
+            # the position-stamp and chunk-regroup shuffles entirely.
+            g = ds.to_pandas().sort_values(
+                [FILE_ID_COLNAME, PATCH_ID_COLNAME], kind="mergesort"
+            ).reset_index(drop=True)
+            idx = fps_kernel(g[cols].to_numpy(), min(num_to_sample, len(g)))
+            sel = g.loc[idx, PATCH_INFO].reset_index(drop=True)
+            sel["sampler"] = name
+            sel = _val_split(sel, cf)
+            self.log.info(f"{self.name}: N={len(sel)}/{num_to_sample} patches.")
+            return sel[schema + [FILE_ID_COLNAME]]
+
+        ds = assign_positions(ds, counts=counts)
 
         def _chunk_fps(group: pd.DataFrame) -> pd.DataFrame:
             g = group.sort_values("__pos", kind="mergesort").reset_index(drop=True)

@@ -8,8 +8,7 @@ from math import floor
 import pandas as pd
 
 from ..catalogue import PATCH_INFO
-from ..stages.filters import filter_by_boolean_indicator
-from .algos import sample_with_stratification
+from .algos import multi_stratified_sample
 from .base import FILE_ID_COLNAME, PATCH_ID_COLNAME, SALT_TARGETTED, Sampler
 from .spatial import SpatialSampler
 
@@ -35,10 +34,29 @@ class TargettedSampler(Sampler):
         self.complete_with_spatial_sampling = complete_with_spatial_sampling
 
     def get_patches(self, catalogue, **kw) -> pd.DataFrame:
-        selection = []
         targets = self.cf["TargettedSampler"]["targets"]
-        for i, (name, objectives) in enumerate(self.sorted_targets(targets).items()):
-            selection.append(self._get_matching_patches(catalogue, name, objectives, salt_offset=i))
+        ordered = self.sorted_targets(targets)
+        # Fused plan: ONE counts scan + ONE pruned shuffle for all criteria
+        # (semantically the reference's per-criterion loop, targetted.py:28-39).
+        specs = [
+            {
+                "name": name,
+                "filter_col": name,
+                "n": int(obj["target_min_samples_proportion"] * self.cf["target_total_num_patches"]),
+                "salt": SALT_TARGETTED + i,
+            }
+            for i, (name, obj) in enumerate(ordered.items())
+        ]
+        pools = multi_stratified_sample(
+            catalogue, specs, strata=FILE_ID_COLNAME, columns=PATCH_INFO
+        )
+        selection = []
+        for i, (name, objectives) in enumerate(ordered.items()):
+            selection.append(
+                self._postprocess_matching_patches(
+                    pools[name], name, objectives, specs[i]["n"]
+                )
+            )
         selection = pd.concat(selection, ignore_index=True)
         selection = self.drop_duplicates_by_id_and_log_sampling_attrition(selection)
         self.log.info(
@@ -69,16 +87,8 @@ class TargettedSampler(Sampler):
             self.log.info(f"{self.name}: completed with N={num_to_add} additional patches.")
         return selection
 
-    def _get_matching_patches(self, catalogue, descriptor_name, objectives, salt_offset=0):
-        """M1 boolean filter → stratified quota sample (O2) → stamp + O9."""
-        pool = filter_by_boolean_indicator(catalogue, descriptor_name, columns=PATCH_INFO)
-        target_n = int(
-            objectives["target_min_samples_proportion"] * self.cf["target_total_num_patches"]
-        )
-        patches = sample_with_stratification(
-            pool, target_n, SALT_TARGETTED + salt_offset,
-            strata=FILE_ID_COLNAME, columns=PATCH_INFO,
-        )
+    def _postprocess_matching_patches(self, patches, descriptor_name, objectives, target_n):
+        """Per-criterion stamp + O9 on the fused M1→O2 result."""
         self.log.info(
             f"TargettedSampler: {descriptor_name} | "
             f"Target: {objectives['target_min_samples_proportion']} (n={target_n})."

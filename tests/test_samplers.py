@@ -84,6 +84,23 @@ def test_diversity_deterministic_across_runs(catalogue):
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
 
 
+def test_diversity_multichunk_distributed_path(catalogue):
+    """Force max_chunk < total so the chunked groupby-FPS shuffle path runs
+    (the single-chunk regime short-circuits to driver-side FPS)."""
+    cf = dict(DEFAULT_CONFIG)
+    cf["DiversitySampler"] = dict(cf["DiversitySampler"], max_chunk_size_for_fps=100)
+    cls = SAMPLERS_LIBRARY["DiversitySampler"]
+    sel = cls(sampling_config=cf).get_patches(catalogue)
+    assert len(sel) == cf["target_total_num_patches"]
+    assert sel["patch_id"].is_unique
+    # deterministic under repartitioning (chunk ids derive from global
+    # positions, not block layout)
+    sel2 = cls(sampling_config=cf).get_patches(catalogue.repartition(7))
+    pd.testing.assert_frame_equal(
+        sel.reset_index(drop=True), sel2.reset_index(drop=True)
+    )
+
+
 def test_run_sampling_end_to_end_enriched():
     out = run_sampling(SF_DIR, "SpatialSampler")
     assert len(out) == TARGET
