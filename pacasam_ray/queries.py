@@ -523,6 +523,109 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_path_rewrite(sf_dir: str):
+    """M4 path-rewrite analog (reference lipac.py:96-99): per-row string map
+    rewriting the url scheme+host prefix to a mount point, vectorized with
+    one Arrow replace kernel."""
+    pages = pages_from_documents(sf_dir)
+
+    def _rw(t: pa.Table) -> pa.Table:
+        moved = pc.replace_substring(t["url"], "https://site", "/mnt/store/site")
+        return pa.table({"doc_id": t["doc_id"], "path": moved})
+
+    return pages.map_batches(_rw, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_PATH_REWRITE = (
+    "SELECT doc_id, REPLACE('https://site' || CAST(doc_id % 20 AS VARCHAR) || '/p/' || "
+    "lpad(CAST(doc_id AS VARCHAR), 9, '0'), 'https://site', '/mnt/store/site') AS path "
+    "FROM documents"
+)
+
+
+def q_distinct_lang_source(sf_dir: str):
+    """Distinct-combination op (A1/`unique` analog): groupby keys with no
+    aggregate = DISTINCT."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    from ray.data.aggregate import Count
+
+    return ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n_docs"))
+
+
+SQL_DISTINCT_LANG_SOURCE = (
+    "SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY lang, source"
+)
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+Q3_TOPK = 10
+
+
+def q_tpch_q3(sf_dir: str):
+    """Q3-style 3-way shuffle join (customer ⋈ orders ⋈ lineitem) + grouped
+    revenue + top-k. Exact integer-cent arithmetic; the final top-k merges a
+    tiny per-batch partial aggregate on the driver."""
+    cutoff = np.datetime64(Q3_DATE + "T00:00:00.000000")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], Q3_SEGMENT)).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+    j = orders.join(cust, join_type="inner", num_partitions=4,
+                    on=("o_custkey",), right_on=("c_custkey",))
+    j = li.join(j, join_type="inner", num_partitions=4,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "o_orderdate": t["o_orderdate"].to_numpy(zero_copy_only=False),
+            "rev": price_c * (100 - disc_c),
+        })
+        g = df.groupby(["l_orderkey", "o_orderdate"], sort=False)["rev"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = j.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["l_orderkey", "o_orderdate"], sort=False)["rev"].sum().reset_index()
+    agg["revenue"] = agg["rev"].map(float) / 10000.0
+    agg = agg.sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(Q3_TOPK)
+    return agg[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
+
+
+SQL_TPCH_Q3 = f"""
+SELECT l_orderkey,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+  o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT {Q3_TOPK}
+"""
+
+
 WINDOW_US = 3_600_000_000  # 1 hour
 
 
@@ -844,8 +947,11 @@ def build_queries() -> dict:
         "extract_text": q_extract_text,
         "token_count": q_token_count,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
         "events_window": q_events_window,
         "join_revenue": q_join_revenue,
+        "path_rewrite": q_path_rewrite,
+        "distinct_lang_source": q_distinct_lang_source,
         "spatial_join": q_spatial_join,
         "zone_filter": q_zone_filter,
         "knn": q_knn,
@@ -890,8 +996,11 @@ def build_oracle_sql() -> dict:
         "extract_text": SQL_EXTRACT_TEXT,
         "token_count": SQL_TOKEN_COUNT,
         "tpch_q1": SQL_TPCH_Q1,
+        "tpch_q3": SQL_TPCH_Q3,
         "events_window": SQL_EVENTS_WINDOW,
         "join_revenue": SQL_JOIN_REVENUE,
+        "path_rewrite": SQL_PATH_REWRITE,
+        "distinct_lang_source": SQL_DISTINCT_LANG_SOURCE,
         "spatial_join": SQL_SPATIAL_JOIN,
         "zone_filter": SQL_ZONE_FILTER,
         "knn": SQL_KNN,
