@@ -665,6 +665,74 @@ FROM events GROUP BY 1, 2
 """
 
 
+SESSION_GAP_US = 3_600_000_000  # 1 h inactivity closes a session
+
+
+def q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (streaming-shaped): per-user event streams
+    split into sessions wherever the inter-event gap exceeds SESSION_GAP_US;
+    per-session count/min/max aggregates (order-invariant ⇒ exact).
+    groupby(user) shuffles each user's (small) stream to one worker — the
+    canonical keyed-stream layout."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_s = np.ones(len(g), dtype=np.int64)
+        new_s[1:] = (us[1:] - us[:-1] > SESSION_GAP_US).astype(np.int64)
+        g["session_id"] = new_s.cumsum() - 1
+        out = g.groupby("session_id", sort=True).agg(
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"), end_ts=("ts", "max"),
+            min_value=("value", "min"), max_value=("value", "max"),
+        ).reset_index()
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+
+
+SQL_EVENTS_SESSIONS = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM e
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_global_positions(sf_dir: str):
+    """O7/O8 global ordering: every row's rank under (file_id, patch_id)
+    lexicographic order, computed WITHOUT a full sort shuffle (per-strata
+    offsets from a shuffle-free counts scan + per-group local ranks)."""
+    from .samplers.diversity import assign_positions
+
+    cat = make_catalogue(sf_dir).select_columns(["patch_id", "file_id"])
+    out = assign_positions(cat)
+    return out.map_batches(
+        lambda df: df.rename(columns={"__pos": "pos"}), batch_format="pandas"
+    )
+
+
+SQL_GLOBAL_POSITIONS = (
+    f"SELECT patch_id, file_id, ROW_NUMBER() OVER (ORDER BY file_id, patch_id) - 1 "
+    f"AS pos FROM ({CAT}) cat"
+)
+
+
 def q_join_revenue(sf_dir: str):
     """Large-large hash join (lineitem ⋈ orders) + exact grouped revenue."""
     li = ray.data.read_parquet(
@@ -949,6 +1017,8 @@ def build_queries() -> dict:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "events_window": q_events_window,
+        "events_sessions": q_events_sessions,
+        "global_positions": q_global_positions,
         "join_revenue": q_join_revenue,
         "path_rewrite": q_path_rewrite,
         "distinct_lang_source": q_distinct_lang_source,
@@ -998,6 +1068,8 @@ def build_oracle_sql() -> dict:
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "events_window": SQL_EVENTS_WINDOW,
+        "events_sessions": SQL_EVENTS_SESSIONS,
+        "global_positions": SQL_GLOBAL_POSITIONS,
         "join_revenue": SQL_JOIN_REVENUE,
         "path_rewrite": SQL_PATH_REWRITE,
         "distinct_lang_source": SQL_DISTINCT_LANG_SOURCE,
