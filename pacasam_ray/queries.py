@@ -194,6 +194,25 @@ SQL_GROUPED_STATS = (
 )
 
 
+def q_grouped_stats_salted(sf_dir: str):
+    """Skew-aware variant of grouped_stats: per-batch combiner + salted
+    (key, hash%k) phase-1 groupby + phase-2 re-group. Hot keys spread over
+    16 reducers; the oracle proves the result is bit-identical to the
+    naive single-phase plan."""
+    from .stages.skew import salted_groupby_sum
+
+    cat = make_catalogue(sf_dir).select_columns(["patch_id", "file_id", "nb_total"])
+    out = salted_groupby_sum(cat, "file_id", ["nb_total"], salt_k=16)
+    return out.map_batches(
+        lambda t: pa.table({
+            "file_id": t["file_id"],
+            "num_patches": t["num_rows"],
+            "sum_nb_total": t["sum_nb_total"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_bool_or(sf_dir: str):
     """A5 BOOL_OR: per-slab OR of the (nullable) test flag, as int-cast max."""
     from ray.data.aggregate import Max
@@ -1008,6 +1027,7 @@ def build_queries() -> dict:
         "grouped_top1": q_grouped_top1,
         "prevalence": q_prevalence,
         "grouped_stats": q_grouped_stats,
+        "grouped_stats_salted": q_grouped_stats_salted,
         "bool_or": q_bool_or,
         "random_sample": q_random_sample,
         "stratified_sample": q_stratified_sample,
@@ -1059,6 +1079,7 @@ def build_oracle_sql() -> dict:
         "grouped_top1": SQL_GROUPED_TOP1,
         "prevalence": SQL_PREVALENCE,
         "grouped_stats": SQL_GROUPED_STATS,
+        "grouped_stats_salted": SQL_GROUPED_STATS,
         "bool_or": SQL_BOOL_OR,
         "random_sample": SQL_RANDOM_SAMPLE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,

@@ -85,3 +85,22 @@ def test_quantile_partition_invariance():
     a = a.sort_values("patch_id").reset_index(drop=True)
     b = b.sort_values("patch_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_salted_groupby_matches_naive():
+    """Skew-spread two-phase aggregation must be bit-identical to the
+    single-phase plan (integer sums, any combination order)."""
+    from pacasam_ray.stages.skew import salted_groupby_sum
+
+    cat = make_catalogue(SF_DIR).select_columns(["patch_id", "file_id", "nb_total"])
+    salted = (
+        salted_groupby_sum(cat, "file_id", ["nb_total"], salt_k=7)
+        .to_pandas().sort_values("file_id").reset_index(drop=True)
+    )
+    full = cat.to_pandas()
+    ref = full.groupby("file_id").agg(
+        num_rows=("patch_id", "size"), sum_nb_total=("nb_total", "sum")
+    ).reset_index().sort_values("file_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        salted[["file_id", "num_rows", "sum_nb_total"]], ref, check_dtype=False
+    )
