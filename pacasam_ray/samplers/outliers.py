@@ -85,17 +85,24 @@ class OutliersSampler(Sampler):
         n_clusters = int(ocf.get("n_clusters", ocf.get("hdbscan_kwargs", {}).get("min_cluster_size", 8)))
         fit_sample_size = int(ocf.get("fit_sample_size", 100_000))
 
+        # The normalized projection feeds two scans (fit-sample + scoring);
+        # both stream — no mid-pipeline materialization of the full dataset.
         ds = catalogue.select_columns(PATCH_INFO + cols)
         ds = normalize_dataset(ds, cols, normalization="standardization")
-        ds = ds.materialize()  # reused by the fit-sample scan and the scoring scan
 
-        # 1. fit on a deterministic subsample (driver-side numpy k-means)
+        # 1. fit on a deterministic subsample: per-batch partial top-n by
+        # hash rank, so the driver receives ≤ fit_sample_size rows per
+        # block — never the dataset.
+        from .algos import smallest_n
+
         def _rank(batch: pa.Table) -> pa.Table:
             r = rank_key(batch[PATCH_ID_COLNAME].to_numpy(zero_copy_only=False), 4243)
             return batch.append_column("__r", pa.array(r))
 
-        sample = ds.map_batches(_rank, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-        sample = sample.sort_values("__r", kind="mergesort").head(fit_sample_size)
+        ranked = ds.map_batches(_rank, batch_format="pyarrow", zero_copy_batch=True)
+        sample = smallest_n(
+            ranked, fit_sample_size, col="__r", tiebreak=PATCH_ID_COLNAME
+        ).to_pandas()
         model = kmeans_fit(sample[cols].to_numpy(), n_clusters)
         model_ref = ray.put(model)
 
