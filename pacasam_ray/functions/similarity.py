@@ -50,8 +50,14 @@ def _batch_qmat(t: pa.Table, emb_col: str) -> np.ndarray:
 
 def load_query_matrix(path: str, query_ids: list[int], id_col: str = "vec_id",
                       emb_col: str = "embedding") -> np.ndarray:
-    """Driver-side load of the (tiny) query vectors, ordered by query id."""
-    t = pq.read_table(path, columns=[id_col, emb_col])
+    """Driver-side load of the (tiny) query vectors, ordered by query id.
+    Row-filter pushed into the parquet read — only the query rows leave
+    storage."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(path).to_table(
+        columns=[id_col, emb_col], filter=pads.field(id_col).isin(list(query_ids))
+    )
     df = t.to_pandas().set_index(id_col).loc[list(query_ids)]
     return quantize(np.stack(df[emb_col].to_numpy()))
 

@@ -105,12 +105,18 @@ def fit_quantile_grid(ds, columns: list[str], n_quantiles: int, subsample: int =
     """Quantile references fitted on a deterministic hash-rank subsample of
     nonzero values (mirrors sklearn QuantileTransformer(subsample=100_000))."""
     def _sample(batch: pa.Table) -> pa.Table:
-        r = rank_key(batch[key].to_numpy(zero_copy_only=False), 777)
-        # keep a deterministic pseudo-random fraction; the driver trims to subsample
-        return batch.select([key] + columns).append_column("__r", pa.array(r))
+        t = batch.select([key] + columns)
+        r = rank_key(t[key].to_numpy(zero_copy_only=False), 777)
+        t = t.append_column("__r", pa.array(r))
+        if t.num_rows <= subsample:
+            return t
+        # per-batch partial top-n: the driver receives ≤ subsample rows per
+        # block, never the dataset
+        idx = np.argpartition(r, subsample - 1)[:subsample]
+        return t.take(pa.array(np.sort(idx)))
 
     sampled = ds.map_batches(_sample, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    sampled = sampled.sort_values("__r", kind="mergesort").head(subsample)
+    sampled = sampled.sort_values(["__r", key], kind="mergesort").head(subsample)
     grids = {}
     qs = np.linspace(0, 1, n_quantiles)
     for c in columns:
