@@ -377,6 +377,17 @@ def q_knn(sf_dir: str):
     return knn_brute(cat, np.asarray(KNN_QUERIES), KNN_K)
 
 
+def q_knn_kring(sf_dir: str):
+    """North-rule kNN scale path: k-ring cell expansion with per-cell
+    candidate pruning; provably exact (same oracle as ``knn``) — the ring
+    doubles until the kth distance is inside the covered region."""
+    from .catalogue import GRID, PATCH_SIZE
+    from .stages.spatial import knn_kring
+
+    cat = make_catalogue(sf_dir).select_columns(["patch_id", "x", "y", "cell"])
+    return knn_kring(cat, np.asarray(KNN_QUERIES), KNN_K, grid=GRID, patch_size=PATCH_SIZE)
+
+
 SQL_KNN = " UNION ALL ".join(
     f"(SELECT * FROM (SELECT {qi} AS query_id, patch_id, "
     f"(x - {qx!r}) * (x - {qx!r}) + (y - {qy!r}) * (y - {qy!r}) AS dist2 "
@@ -1045,6 +1056,7 @@ def build_queries() -> dict:
         "spatial_join": q_spatial_join,
         "zone_filter": q_zone_filter,
         "knn": q_knn,
+        "knn_kring": q_knn_kring,
         "extract_pipeline": q_extract_pipeline,
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
@@ -1097,6 +1109,7 @@ def build_oracle_sql() -> dict:
         "spatial_join": SQL_SPATIAL_JOIN,
         "zone_filter": SQL_ZONE_FILTER,
         "knn": SQL_KNN,
+        "knn_kring": SQL_KNN,
         "extract_pipeline": SQL_EXTRACT_PIPELINE,
         "text_quality": _sql_text_quality(),
         "fingerprint": _sql_fingerprint(),

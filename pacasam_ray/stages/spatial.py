@@ -192,3 +192,116 @@ def knn_brute(ds, query_points: np.ndarray, k: int, x_col: str = "x", y_col: str
         .reset_index(drop=True)
     )
     return out
+
+
+def knn_kring(ds, query_points: np.ndarray, k: int, *, grid: int, patch_size: float,
+              cell_col: str = "cell", x_col: str = "x", y_col: str = "y",
+              id_col: str = "patch_id", initial_ring: int = 2) -> pd.DataFrame:
+    """Exact kNN via k-ring candidate expansion over the cell grid (north
+    rule: "kNN neighbor retrieval uses H3 k-ring expansion with per-cell
+    candidate pruning").
+
+    Round r scans only rows whose cell lies within Chebyshev grid distance r
+    of ANY query's cell (the k-ring); each batch prunes to its local top-k
+    per query and the driver merges. The result is returned only once every
+    query's kth distance is strictly below the distance from the query point
+    to the nearest uncovered cell (points outside the ring are provably
+    farther); otherwise the ring doubles. Worst case degrades to
+    ``knn_brute`` semantics with the full grid covered — results are always
+    EXACT, the ring only prunes work.
+
+    At production scale ``cell`` is a stored (partition) column, so the ring
+    predicate pushes down to the parquet read and prunes I/O, not just
+    compute; here it prunes after the derivation ``map_batches``.
+    """
+    q = np.asarray(query_points, dtype=np.float64)
+    nq = len(q)
+    qgx = np.clip((q[:, 0] // patch_size).astype(np.int64), 0, grid - 1)
+    qgy = np.clip((q[:, 1] // patch_size).astype(np.int64), 0, grid - 1)
+
+    r = int(initial_ring)
+    while True:
+        qg_ref = ray.put((qgx, qgy, q, r))
+
+        def _ring_topk(batch: pa.Table) -> pa.Table:
+            gx_q, gy_q, qp, ring = ray.get(qg_ref)
+            cell = batch[cell_col].to_numpy(zero_copy_only=False)
+            gx = cell % grid
+            gy = cell // grid
+            # Chebyshev distance of every row's cell to every query cell;
+            # keep rows inside ANY query's ring (vectorized rows × Q).
+            cheb = np.maximum(
+                np.abs(gx[:, None] - gx_q[None, :]),
+                np.abs(gy[:, None] - gy_q[None, :]),
+            )
+            in_ring = (cheb <= ring).any(axis=1)
+            if not in_ring.any():
+                return pa.table({
+                    "query_id": np.empty(0, dtype=np.int64),
+                    id_col: np.empty(0, dtype=batch[id_col].to_numpy(zero_copy_only=False).dtype),
+                    "dist2": np.empty(0, dtype=np.float64),
+                })
+            px = batch[x_col].to_numpy(zero_copy_only=False)[in_ring]
+            py = batch[y_col].to_numpy(zero_copy_only=False)[in_ring]
+            ids = batch[id_col].to_numpy(zero_copy_only=False)[in_ring]
+            out_q, out_id, out_d = [], [], []
+            for qi in range(len(qp)):
+                dx = px - qp[qi, 0]
+                dy = py - qp[qi, 1]
+                d2 = dx * dx + dy * dy
+                take = min(k, len(d2))
+                if take == 0:
+                    continue
+                idx = np.argpartition(d2, take - 1)[:take] if len(d2) > take else np.arange(len(d2))
+                out_q.append(np.full(take, qi, dtype=np.int64))
+                out_id.append(ids[idx])
+                out_d.append(d2[idx])
+            if not out_q:
+                return pa.table({
+                    "query_id": np.empty(0, dtype=np.int64),
+                    id_col: np.empty(0, dtype=ids.dtype),
+                    "dist2": np.empty(0, dtype=np.float64),
+                })
+            return pa.table({
+                "query_id": np.concatenate(out_q),
+                id_col: np.concatenate(out_id),
+                "dist2": np.concatenate(out_d),
+            })
+
+        parts = ds.map_batches(_ring_topk, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        out = (
+            parts.sort_values(["query_id", "dist2", id_col], kind="mergesort")
+            .groupby("query_id", sort=True, group_keys=False)
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+        if r >= grid:  # full grid covered: nothing outside the ring exists
+            return out
+        # Exactness check: covered box per query (world coords, grid-clipped
+        # sides count as infinite — nothing lies beyond the world edge).
+        ok = True
+        for qi in range(nq):
+            got = out[out["query_id"] == qi]
+            bxmin = (qgx[qi] - r) * patch_size
+            bxmax = (qgx[qi] + r + 1) * patch_size
+            bymin = (qgy[qi] - r) * patch_size
+            bymax = (qgy[qi] + r + 1) * patch_size
+            margins = []
+            if qgx[qi] - r > 0:
+                margins.append(q[qi, 0] - bxmin)
+            if qgx[qi] + r + 1 < grid:
+                margins.append(bxmax - q[qi, 0])
+            if qgy[qi] - r > 0:
+                margins.append(q[qi, 1] - bymin)
+            if qgy[qi] + r + 1 < grid:
+                margins.append(bymax - q[qi, 1])
+            if not margins:
+                continue  # ring covers the whole world for this query
+            d_out = min(margins)
+            if len(got) < k or got["dist2"].iloc[-1] >= d_out * d_out:
+                ok = False
+                break
+        if ok:
+            return out
+        r = min(grid, r * 2)
