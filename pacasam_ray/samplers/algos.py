@@ -30,6 +30,12 @@ from ..hashing import rank_key
 
 RANK_COL = "__rank"
 MAX_COMPLETION_ROUNDS = 50
+# Below this exact pool size (known driver-side from the counts pass) the
+# pruned reserve is merged in pandas instead of a hash shuffle: the reserve
+# lands on the driver either way, and at small sizes the shuffle's
+# aggregator-actor startup dominates wall time. Above it, the groupby
+# shuffle dedups the reserve across blocks before it ships.
+DRIVER_MERGE_MAX_ROWS = 2_000_000
 
 
 def add_rank(ds, salt: int, key: str = "patch_id", columns: list[str] | None = None):
@@ -148,12 +154,17 @@ def sample_with_stratification(
         g = batch.sort_values([RANK_COL, "patch_id"], kind="mergesort")
         return g.groupby(strata, sort=False, group_keys=False).head(depth)
 
-    reserve = (
-        ranked.map_batches(_local_prune, batch_format="pandas")
-        .groupby(strata)
-        .map_groups(_per_group_take(depth), batch_format="pandas")
-        .to_pandas()
-    )
+    pruned = ranked.map_batches(_local_prune, batch_format="pandas")
+    if total <= DRIVER_MERGE_MAX_ROWS:
+        reserve = pruned.to_pandas()
+        reserve = reserve.sort_values([RANK_COL, "patch_id"], kind="mergesort")
+        reserve = reserve.groupby(strata, sort=False, group_keys=False).head(depth)
+    else:
+        reserve = (
+            pruned.groupby(strata)
+            .map_groups(_per_group_take(depth), batch_format="pandas")
+            .to_pandas()
+        )
 
     reserve = reserve.sort_values([RANK_COL, "patch_id"], kind="mergesort")
     selected = reserve.groupby(strata, sort=False, group_keys=False).head(quota)
@@ -253,12 +264,23 @@ def multi_stratified_sample(
         gg = g.sort_values([RANK_COL, "patch_id"], kind="mergesort")
         return gg.head(depths[si])
 
-    reserve_all = (
-        tagged.map_batches(_local_prune, batch_format="pandas")
-        .groupby(["__spec", strata])
-        .map_groups(_grouped_take, batch_format="pandas")
-        .to_pandas()
-    )
+    pruned = tagged.map_batches(_local_prune, batch_format="pandas")
+    if sum(totals.values()) <= DRIVER_MERGE_MAX_ROWS:
+        merged = pruned.to_pandas()
+        merged = merged.sort_values([RANK_COL, "patch_id"], kind="mergesort")
+        parts = [
+            merged[merged["__spec"] == si]
+            .groupby(strata, sort=False, group_keys=False)
+            .head(depths[si])
+            for si in range(len(specs))
+        ]
+        reserve_all = pd.concat(parts, ignore_index=True) if parts else merged
+    else:
+        reserve_all = (
+            pruned.groupby(["__spec", strata])
+            .map_groups(_grouped_take, batch_format="pandas")
+            .to_pandas()
+        )
 
     out: dict[str, pd.DataFrame] = {}
     for si, spec in enumerate(specs):
