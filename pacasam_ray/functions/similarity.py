@@ -261,3 +261,123 @@ def embed_neardup_lsh(ds, tau: float = 0.4, n_tables: int = 24, bits: int = 5,
         return g.head(1)
 
     return pairs.groupby(["doc_a", "doc_b"]).map_groups(_dedup, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF — the ANN scale path: coarse-quantize the corpus into nlist centroid
+# buckets (inverted lists); a query probes only its nprobe closest buckets,
+# so each batch computes distances for the probed fraction of rows instead
+# of all of them. Approximate: recall vs brute force is asserted in tests.
+# ---------------------------------------------------------------------------
+
+
+def fit_ivf_centroids(ds, nlist: int, *, sample_size: int = 100_000,
+                      iters: int = 10, id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> np.ndarray:
+    """Deterministic coarse k-means on a bounded streamed subsample.
+
+    The fit sample is the ``sample_size`` rows with the smallest ids
+    (deterministic, partition-invariant; streamed via per-batch partial
+    top-n, never a full materialization). Lloyd iterations run driver-side
+    on the bounded sample — the model is tiny (nlist × dim) and ships to
+    workers by broadcast. Vectors are L2-normalized so the assignment metric
+    (max dot) matches cosine.
+    """
+    def _local_smallest(t: pa.Table) -> pa.Table:
+        if t.num_rows <= sample_size:
+            return t.select([id_col, emb_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        idx = np.argpartition(ids, sample_size - 1)[:sample_size]
+        return t.select([id_col, emb_col]).take(pa.array(np.sort(idx)))
+
+    parts = ds.map_batches(_local_smallest, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    parts = parts.sort_values(id_col, kind="mergesort").head(sample_size)
+    mat = np.stack(parts[emb_col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+    nlist = min(nlist, len(mat))
+    cent = mat[:nlist].copy()  # deterministic init: first nlist sample rows
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(nlist):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ann_topk_ivf(ds, query_matrix: np.ndarray, k: int, centroids: np.ndarray,
+                 nprobe: int = 8, id_col: str = "vec_id",
+                 emb_col: str = "embedding") -> pd.DataFrame:
+    """IVF cosine top-k: each batch assigns its rows to centroids (one
+    matmul), keeps only rows whose bucket is probed by ≥1 query, and scores
+    each survivor against exactly the queries probing its bucket. Same
+    output schema and quantized-cosine arithmetic as :func:`ann_topk`, so
+    results are comparable row-for-row where recall is perfect.
+    """
+    qz = np.asarray(query_matrix, dtype=np.int64)
+    qn = (qz * qz).sum(axis=1)
+    qf = qz.astype(np.float64)
+    qf /= np.maximum(np.linalg.norm(qf, axis=1, keepdims=True), 1e-12)
+    nprobe = min(nprobe, len(centroids))
+    # probe_sets[qi] = the nprobe closest centroid ids for query qi
+    qsim = qf @ np.asarray(centroids).T
+    probe = np.argsort(-qsim, axis=1, kind="stable")[:, :nprobe]
+    state_ref = ray.put((qz, qn, np.asarray(centroids), probe))
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        qz_, qn_, cent, probe_ = ray.get(state_ref)
+        ez = _batch_qmat(t, emb_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ef = ez.astype(np.float64)
+        ef /= np.maximum(np.linalg.norm(ef, axis=1, keepdims=True), 1e-12)
+        bucket = (ef @ cent.T).argmax(axis=1)
+        # rows × queries candidate mask: row bucket ∈ query's probe set
+        cand = (bucket[:, None, None] == probe_[None, :, :]).any(axis=2)
+        keep = cand.any(axis=1)
+        if not keep.any():
+            return pa.table({
+                "query_id": np.empty(0, dtype=np.int64),
+                id_col: np.empty(0, dtype=ids.dtype),
+                "cos": np.empty(0, dtype=np.float64),
+            })
+        ez, ids, cand = ez[keep], ids[keep], cand[keep]
+        en = (ez * ez).sum(axis=1)
+        dots = ez @ qz_.T
+        cos = cosine_from_ints(dots, en[:, None], qn_[None, :])
+        out_q, out_id, out_c = [], [], []
+        for qi in range(qz_.shape[0]):
+            rows = np.flatnonzero(cand[:, qi])
+            if not len(rows):
+                continue
+            take = min(k, len(rows))
+            order = rows[np.lexsort((ids[rows], -cos[rows, qi]))[:take]]
+            out_q.append(np.full(take, qi, dtype=np.int64))
+            out_id.append(ids[order])
+            out_c.append(cos[order, qi])
+        if not out_q:
+            return pa.table({
+                "query_id": np.empty(0, dtype=np.int64),
+                id_col: np.empty(0, dtype=ids.dtype),
+                "cos": np.empty(0, dtype=np.float64),
+            })
+        return pa.table({
+            "query_id": np.concatenate(out_q),
+            id_col: np.concatenate(out_id),
+            "cos": np.concatenate(out_c),
+        })
+
+    parts = ds.map_batches(
+        _local_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = (
+        parts.sort_values(["query_id", "cos", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=True, group_keys=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out

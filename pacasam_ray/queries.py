@@ -945,6 +945,18 @@ def q_ann_topk(sf_dir: str):
     return ann_topk(ds, qm, ANN_K)
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF scale path: coarse k-means buckets, per-query nprobe probing.
+    Approximate — recall vs the brute-force twin is asserted in tests."""
+    from .functions.similarity import ann_topk_ivf, fit_ivf_centroids, load_query_matrix
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    qm = load_query_matrix(path, ANN_QUERY_IDS)
+    cent = fit_ivf_centroids(ds, nlist=16, sample_size=50_000)
+    return ann_topk_ivf(ds, qm, ANN_K, cent, nprobe=6)
+
+
 def q_embed_neardup(sf_dir: str):
     """Exact embedding-cosine near-dup pairs (block-nested-loop join)."""
     from .functions.similarity import embed_neardup
@@ -1067,6 +1079,7 @@ def build_queries() -> dict:
         "simhash_neardup": q_simhash_neardup,
         "minhash_lsh": q_minhash_lsh,
         "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "media_meta": q_media_meta,

@@ -115,6 +115,34 @@ def test_ann_topk_self_match():
     assert int(top["vec_id"]) == 7 and top["cos"] == 1.0
 
 
+def test_ann_ivf_recall_and_invariance():
+    """IVF scale path: ≥80 % recall@10 vs brute force; self-match survives
+    probing (a query's own bucket is always its closest); block-layout
+    invariant."""
+    from pacasam_ray.functions.similarity import (
+        ann_topk, ann_topk_ivf, fit_ivf_centroids, load_query_matrix)
+
+    qids = [0, 1, 2, 3, 4]
+    qm = load_query_matrix(EMBS, qids)
+    cent = fit_ivf_centroids(embs_ds(), nlist=16, sample_size=50_000)
+    exact = ann_topk(embs_ds(), qm, 10)
+    approx = ann_topk_ivf(embs_ds(), qm, 10, cent, nprobe=6)
+
+    hits = 0
+    for qi in range(len(qids)):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        hits += len(e & a)
+    assert hits / len(exact) >= 0.8
+
+    top = approx[approx["rank"] == 1]
+    assert list(top["vec_id"]) == qids
+    assert (top["cos"] >= 1.0 - 1e-12).all()  # sqrt(n)*sqrt(n) can be 1 ulp off n
+
+    again = ann_topk_ivf(embs_ds().repartition(11), qm, 10, cent, nprobe=6)
+    pd.testing.assert_frame_equal(approx, again)
+
+
 # --- text analysis ----------------------------------------------------------
 
 def test_lang_id_schema_and_domain():
