@@ -107,3 +107,33 @@ def test_run_sampling_end_to_end_enriched():
     # enriched selection = catalogue columns + sampling columns (J1)
     for col in ("patch_id", "split", "sampler", "file_id", "cell", "x", "y"):
         assert col in out.columns
+
+
+def test_stratified_shuffle_path_matches_driver_merge(catalogue, monkeypatch):
+    """The adaptive reserve plan (driver merge below DRIVER_MERGE_MAX_ROWS
+    vs groupby hash-shuffle above) must be a pure physical choice: forcing
+    the shuffle path on the same input yields identical selections."""
+    from pacasam_ray.samplers import algos
+
+    spec = dict(n=37, salt=123, strata="file_id")
+    fast = algos.sample_with_stratification(catalogue, spec["n"], spec["salt"])
+    monkeypatch.setattr(algos, "DRIVER_MERGE_MAX_ROWS", 0)
+    slow = algos.sample_with_stratification(catalogue, spec["n"], spec["salt"])
+    pd.testing.assert_frame_equal(
+        fast.sort_values("patch_id").reset_index(drop=True),
+        slow.sort_values("patch_id").reset_index(drop=True),
+    )
+
+    specs = [
+        {"name": "a", "filter_col": "c0", "n": 11, "salt": 7},
+        {"name": "b", "filter_col": None, "n": 23, "salt": 8},
+    ]
+    monkeypatch.setattr(algos, "DRIVER_MERGE_MAX_ROWS", algos.MAX_COMPLETION_ROUNDS * 10**6)
+    fast_m = algos.multi_stratified_sample(catalogue, specs)
+    monkeypatch.setattr(algos, "DRIVER_MERGE_MAX_ROWS", 0)
+    slow_m = algos.multi_stratified_sample(catalogue, specs)
+    for k in fast_m:
+        pd.testing.assert_frame_equal(
+            fast_m[k].sort_values("patch_id").reset_index(drop=True),
+            slow_m[k].sort_values("patch_id").reset_index(drop=True),
+        )
