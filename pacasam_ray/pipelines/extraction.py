@@ -117,6 +117,7 @@ def run_extraction(sampling_ds, dataset_root: str | Path, num_shards: int = 16) 
     def _write_partition(group: pd.DataFrame) -> pd.DataFrame:
         """E2 + E6 per (split, shard): extract payload bytes, atomic publish,
         manifest-last. Runs on workers; one group = one output partition."""
+        t_start = time.time()
         split = group["split"].iloc[0]
         shard = int(group["__shard"].iloc[0])
         group = group.sort_values("url", kind="mergesort")
@@ -143,6 +144,10 @@ def run_extraction(sampling_ds, dataset_root: str | Path, num_shards: int = 16) 
             "path": str(final),
             "lineage": {"source": "sampling", "num_shards": num_shards},
             "written_at": time.time(),
+            # per-partition throughput metrics (north rule: checkpoints with
+            # lineage + throughput metrics for resumability)
+            "elapsed_s": round(time.time() - t_start, 4),
+            "rows_per_sec": round(len(group) / max(time.time() - t_start, 1e-9), 1),
         }
         mfinal = Path(root_str) / "_manifest" / f"{split}-{shard:05d}.json"
         mtmp = mfinal.with_suffix(".json.tmp")

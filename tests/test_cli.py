@@ -67,7 +67,8 @@ def test_run_extraction_roundtrip_and_resume(sampling_out, tmp_path):
     manifests = sorted((root / "_manifest").glob("*.json"))
     assert len(parts) == len(manifests) == summary["partitions_written"]
     lineage = json.loads(manifests[0].read_text())
-    assert {"split", "shard", "rows", "bytes", "path", "lineage"} <= set(lineage)
+    assert {"split", "shard", "rows", "bytes", "path", "lineage",
+            "elapsed_s", "rows_per_sec"} <= set(lineage)
 
     # per-row invariant: byte-identical text per url vs the source documents
     got = pd.concat([pd.read_parquet(p) for p in parts]).sort_values("patch_id")
