@@ -695,6 +695,35 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_asof_join(sf_dir: str):
+    """J4 generalized: backward inner as-of join — each click matched to the
+    user's latest purchase at or before it. One co-partitioning shuffle on
+    user_id, vectorized searchsorted per group (stages/asof.py)."""
+    from .stages.asof import asof_join_backward
+
+    ev = f"{sf_dir}/events.parquet"
+    base = ray.data.read_parquet(ev, columns=["event_id", "user_id", "ts", "event_type"])
+    clicks = base.filter(expr="event_type == 'click'")
+    purchases = base.filter(expr="event_type == 'purchase'")
+    return asof_join_backward(
+        clicks, purchases, by="user_id", on="ts",
+        left_id="event_id", right_id="event_id",
+        out_right_id="purchase_id", out_delta_us="wait_us",
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT e.event_id, e.user_id, p.event_id AS purchase_id,
+       epoch_us(e.ts) - epoch_us(p.ts) AS wait_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') e
+ASOF JOIN (
+    SELECT user_id, ts, MIN(event_id) AS event_id
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+) p ON e.user_id = p.user_id AND e.ts >= p.ts
+ORDER BY e.event_id
+"""
+
+
 SESSION_GAP_US = 3_600_000_000  # 1 h inactivity closes a session
 
 
@@ -1061,6 +1090,7 @@ def build_queries() -> dict:
         "tpch_q3": q_tpch_q3,
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
+        "asof_join": q_asof_join,
         "global_positions": q_global_positions,
         "join_revenue": q_join_revenue,
         "path_rewrite": q_path_rewrite,
@@ -1114,6 +1144,7 @@ def build_oracle_sql() -> dict:
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "events_window": SQL_EVENTS_WINDOW,
+        "asof_join": SQL_ASOF_JOIN,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "global_positions": SQL_GLOBAL_POSITIONS,
         "join_revenue": SQL_JOIN_REVENUE,
