@@ -330,14 +330,31 @@ def fps(arr: np.ndarray, num_to_sample: int) -> np.ndarray:
         return np.arange(n)
     if num_to_sample <= 0:
         return np.array([], dtype=np.int64)
+    arr = np.ascontiguousarray(arr, dtype=np.float64)
     selected = np.zeros(num_to_sample, dtype=np.int64)
-    min_d = ((arr - arr[0]) ** 2).sum(axis=-1)
+    # |x-c|² = |x|² − 2·x·c + |c|²: one gemv + two vector ops per step
+    # instead of materializing the (n × dim) difference matrix — ~4× less
+    # memory traffic, which dominates the O(N·S) loop. ``max(d, 0)`` guards
+    # the cancellation-induced tiny negatives so selected-marking (−1)
+    # stays unambiguous.
+    norms = np.einsum("ij,ij->i", arr, arr)
+    d = np.empty(n, dtype=np.float64)
+    min_d = np.empty(n, dtype=np.float64)
+
+    def dist_to(c: int, out: np.ndarray) -> np.ndarray:
+        np.dot(arr, arr[c], out=out)
+        out *= -2.0
+        out += norms
+        out += norms[c]
+        np.maximum(out, 0.0, out=out)
+        return out
+
+    dist_to(0, min_d)
     min_d[0] = -1.0  # mark selected so argmax can never re-pick them
     for i in range(1, num_to_sample):
         nxt = int(np.argmax(min_d))
         selected[i] = nxt
-        d = ((arr - arr[nxt]) ** 2).sum(axis=-1)
-        np.minimum(min_d, d, out=min_d)
+        np.minimum(min_d, dist_to(nxt, d), out=min_d)
         min_d[nxt] = -1.0
     return selected
 
