@@ -656,6 +656,91 @@ ORDER BY revenue DESC, l_orderkey LIMIT {Q3_TOPK}
 """
 
 
+Q5_REGION = "ASIA"
+Q5_LO = "1996-01-01"
+Q5_HI = "1998-01-01"
+
+
+def q_tpch_q5(sf_dir: str):
+    """Q5-style 6-way join: hash-shuffle ``Dataset.join`` for the big fact
+    chain (lineitem ⋈ orders ⋈ customer) + broadcast of the small dims
+    (supplier / nation / region ship once via the object store and are
+    probed per batch); grouped revenue in exact integer cents."""
+    lo = np.datetime64(Q5_LO + "T00:00:00.000000")
+    hi = np.datetime64(Q5_HI + "T00:00:00.000000")
+
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    nkeys = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    nkeys = nkeys[nkeys["r_name"] == Q5_REGION][["n_nationkey", "n_name"]]
+    nation_name = dict(zip(nkeys["n_nationkey"], nkeys["n_name"]))
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    sup = sup[sup["s_nationkey"].isin(nation_name)]
+    sup_ref = ray.put(dict(zip(sup["s_suppkey"], sup["s_nationkey"])))
+    region_keys = pa.array(list(nation_name), type=pa.int64())
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi)),
+        )).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=region_keys)),
+        batch_format="pyarrow",
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    oc = orders.join(cust, join_type="inner", num_partitions=4,
+                     on=("o_custkey",), right_on=("c_custkey",))
+    j = li.join(oc, join_type="inner", num_partitions=4,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        smap = ray.get(sup_ref)
+        s_nat = pd.Series(t["l_suppkey"].to_numpy(zero_copy_only=False)).map(smap)
+        keep = s_nat.to_numpy() == t["c_nationkey"].to_numpy(zero_copy_only=False)
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "n_key": t["c_nationkey"].to_numpy(zero_copy_only=False)[keep],
+            "rev": (price_c * (100 - disc_c))[keep],
+        })
+        g = df.groupby("n_key", sort=False)["rev"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = j.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("n_key", sort=False)["rev"].sum().reset_index()
+    agg["n_name"] = agg["n_key"].map(nation_name)
+    agg["revenue"] = agg["rev"].map(float) / 10000.0
+    agg = agg.sort_values(["revenue", "n_name"], ascending=[False, True],
+                          kind="mergesort")
+    return agg[["n_name", "revenue"]].reset_index(drop=True)
+
+
+SQL_TPCH_Q5 = f"""
+SELECT n_name,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_LO}' AND o_orderdate < TIMESTAMP '{Q5_HI}'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
 WINDOW_US = 3_600_000_000  # 1 hour
 
 
@@ -1088,6 +1173,7 @@ def build_queries() -> dict:
         "token_count": q_token_count,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
         "asof_join": q_asof_join,
@@ -1143,6 +1229,7 @@ def build_oracle_sql() -> dict:
         "token_count": SQL_TOKEN_COUNT,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
+        "tpch_q5": SQL_TPCH_Q5,
         "events_window": SQL_EVENTS_WINDOW,
         "asof_join": SQL_ASOF_JOIN,
         "events_sessions": SQL_EVENTS_SESSIONS,
