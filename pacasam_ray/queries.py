@@ -746,31 +746,45 @@ WINDOW_US = 3_600_000_000  # 1 hour
 
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour window per event_type (streaming-shaped workload):
-    count / min / max are order-invariant ⇒ exact."""
-    from ray.data.aggregate import Count, Max, Min
+    count / min / max are order-invariant ⇒ exact. Pre-aggregated per batch
+    (combiner) BEFORE the groupby shuffle — the exchange moves at most one
+    row per (event_type, window) per input block, not every event."""
+    from ray.data.aggregate import Max, Min, Sum
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
-    def _win(t: pa.Table) -> pa.Table:
+    def _partial(t: pa.Table) -> pa.Table:
         us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
-        return pa.table({
-            "event_type": t["event_type"],
-            "win": pa.array(us // WINDOW_US),
-            "value": t["value"],
+        df = pd.DataFrame({
+            "event_type": np.asarray(t["event_type"]),
+            "win": us // WINDOW_US,
+            "value": t["value"].to_numpy(zero_copy_only=False),
         })
+        g = df.groupby(["event_type", "win"], sort=False).agg(
+            n_events=("value", "size"),
+            min_value=("value", "min"),
+            max_value=("value", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(_win, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["event_type", "win"])
         .aggregate(
-            Count(alias_name="n_events"),
-            Min("value", alias_name="min_value"),
-            Max("value", alias_name="max_value"),
+            Sum("n_events", alias_name="n_events"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value"),
         )
     )
-    return out
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_events"), "n_events",
+            pc.cast(t["n_events"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
 
 
 SQL_EVENTS_WINDOW = f"""
