@@ -741,6 +741,90 @@ GROUP BY n_name ORDER BY revenue DESC, n_name
 """
 
 
+Q14_LO = "1996-03-01"
+Q14_HI = "1996-09-01"
+
+
+def q_tpch_q14(sf_dir: str):
+    """Q14-style promo-revenue ratio: lineitem ⋈ part (hash-shuffle join on
+    partkey) + conditional exact-integer aggregate → one scalar float from
+    one IEEE expression."""
+    lo = np.datetime64(Q14_LO + "T00:00:00.000000")
+    hi = np.datetime64(Q14_HI + "T00:00:00.000000")
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi)),
+        )).select(["l_partkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow",
+    )
+    j = li.join(part, join_type="inner", num_partitions=4,
+                on=("l_partkey",), right_on=("p_partkey",))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
+        promo = pc.equal(t["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "promo_rev": [int(rev[promo].sum())],
+            "total_rev": [int(rev.sum())],
+        })
+
+    parts = j.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    promo, total = int(parts["promo_rev"].sum()), int(parts["total_rev"].sum())
+    return pd.DataFrame({"promo_revenue_pct": [100.0 * float(promo) / float(total)]})
+
+
+SQL_TPCH_Q14 = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+    THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) ELSE 0 END) AS DOUBLE)
+  / CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_LO}' AND l_shipdate < TIMESTAMP '{Q14_HI}'
+"""
+
+
+def q_json_extract(sf_dir: str):
+    """Scalar-function breadth: vectorized regex field extraction from the
+    JSON-ish ``props`` column (pc.extract_regex — no Python row loop) +
+    grouped exact sum."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        df = pd.DataFrame({"event_type": np.asarray(t["event_type"]),
+                           "k": k.to_numpy(zero_copy_only=False)})
+        g = df.groupby("event_type", sort=False)["k"].agg(["sum", "size"]).reset_index()
+        return pa.Table.from_pandas(
+            g.rename(columns={"sum": "sum_k", "size": "n"}), preserve_index=False
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("event_type", sort=True).agg(
+        sum_k=("sum_k", "sum"), n=("n", "sum")).reset_index()
+    agg["sum_k"] = agg["sum_k"].astype("int64")
+    agg["n"] = agg["n"].astype("int64")
+    return agg
+
+
+SQL_JSON_EXTRACT = r"""
+SELECT event_type,
+       SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 WINDOW_US = 3_600_000_000  # 1 hour
 
 
@@ -1188,6 +1272,8 @@ def build_queries() -> dict:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q14": q_tpch_q14,
+        "json_extract": q_json_extract,
         "events_window": q_events_window,
         "events_sessions": q_events_sessions,
         "asof_join": q_asof_join,
@@ -1244,6 +1330,8 @@ def build_oracle_sql() -> dict:
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5": SQL_TPCH_Q5,
+        "tpch_q14": SQL_TPCH_Q14,
+        "json_extract": SQL_JSON_EXTRACT,
         "events_window": SQL_EVENTS_WINDOW,
         "asof_join": SQL_ASOF_JOIN,
         "events_sessions": SQL_EVENTS_SESSIONS,
