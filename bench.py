@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "normalize_std",
     "tpch_q1",
+    "tpch_q5",
     "join_revenue",
     "events_window",
     "sampler_DiversitySampler",
