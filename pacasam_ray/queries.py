@@ -396,6 +396,40 @@ SQL_KNN = " UNION ALL ".join(
 )
 
 
+def q_cell_density(sf_dir: str):
+    """E3 colorization analog (raster↔vector transfer, north rule): build a
+    per-cell density raster (pre-combined per-batch counts → tiny global
+    merge), broadcast it, and join the raster value back onto every page
+    point — the vector→raster→vector roundtrip extractors/laz.py:111-126
+    does with orthophoto colors."""
+    cat = make_catalogue(sf_dir).select_columns(["patch_id", "cell"])
+
+    def _counts(t: pa.Table) -> pa.Table:
+        vc = pa.TableGroupBy(t.select(["cell"]), "cell").aggregate([([], "count_all")])
+        return vc.rename_columns(["cell", "n"])
+
+    parts = cat.map_batches(_counts, batch_format="pyarrow").to_pandas()
+    raster = parts.groupby("cell", sort=False)["n"].sum()  # the "raster": cell → density
+    raster_ref = ray.put(dict(zip(raster.index.to_numpy(), raster.to_numpy())))
+
+    def _colorize(t: pa.Table) -> pa.Table:
+        r = ray.get(raster_ref)
+        dens = pd.Series(t["cell"].to_numpy(zero_copy_only=False)).map(r)
+        return pa.table({
+            "patch_id": t["patch_id"],
+            "cell": t["cell"],
+            "cell_density": pa.array(dens.to_numpy(dtype=np.int64)),
+        })
+
+    return cat.map_batches(_colorize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CELL_DENSITY = (
+    f"SELECT patch_id, cell, COUNT(*) OVER (PARTITION BY cell) AS cell_density "
+    f"FROM ({CAT}) cat"
+)
+
+
 def q_extract_pipeline(sf_dir: str):
     """Full extraction pipeline: pages → shard by slab → per-partition atomic
     parquet + manifest → read back (byte-identical text per url)."""
@@ -1283,6 +1317,7 @@ def build_queries() -> dict:
         "distinct_lang_source": q_distinct_lang_source,
         "spatial_join": q_spatial_join,
         "zone_filter": q_zone_filter,
+        "cell_density": q_cell_density,
         "knn": q_knn,
         "knn_kring": q_knn_kring,
         "extract_pipeline": q_extract_pipeline,
@@ -1341,6 +1376,7 @@ def build_oracle_sql() -> dict:
         "distinct_lang_source": SQL_DISTINCT_LANG_SOURCE,
         "spatial_join": SQL_SPATIAL_JOIN,
         "zone_filter": SQL_ZONE_FILTER,
+        "cell_density": SQL_CELL_DENSITY,
         "knn": SQL_KNN,
         "knn_kring": SQL_KNN,
         "extract_pipeline": SQL_EXTRACT_PIPELINE,
