@@ -413,3 +413,73 @@ SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
 FROM sh a JOIN sh b ON a.{id_col} < b.{id_col}
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: candidate pairs → connected components → keep/drop.
+# The missing last mile of every near-dup pipeline: pairs alone don't say
+# which rows to drop; transitive closure does (A~B, B~C ⇒ one survivor).
+# ---------------------------------------------------------------------------
+
+
+def neardup_components(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b") -> pd.DataFrame:
+    """Union-find over the candidate-pair stream → (doc_id, component) with
+    component = min doc id of the connected component.
+
+    The edge list streams through the driver ONCE via ``iter_batches`` (never
+    materialized as a whole) and memory is O(ids that appear in any pair) —
+    the duplicated subset, orders of magnitude smaller than the corpus. At
+    10^12-row scale with billions of edges this becomes iterated
+    hash-partition label propagation (join pairs↔labels until fixpoint);
+    union-find-on-the-driver is the standard single-pass plan while the
+    pair set fits one machine (it did for every published web-dedup run).
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: int, b: int) -> None:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id root so the component label is deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for batch in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        aa = batch[a_col].to_numpy(zero_copy_only=False)
+        bb = batch[b_col].to_numpy(zero_copy_only=False)
+        for a, b in zip(aa.tolist(), bb.tolist()):
+            union(a, b)
+
+    return pd.DataFrame({
+        "doc_id": list(parent),
+        "component": [find(x) for x in parent],
+    }).astype({"doc_id": np.int64, "component": np.int64}).sort_values(
+        "doc_id", kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def neardup_keep(ds, components: pd.DataFrame, id_col: str = "doc_id"):
+    """Drop every component member except its min-id representative:
+    broadcast anti-join of the (small) drop set against the full corpus."""
+    import ray
+
+    drop = components.loc[
+        components["doc_id"] != components["component"], "doc_id"
+    ].to_numpy(dtype=np.int64)
+    drop_ref = ray.put(pa.array(drop))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.invert(pc.is_in(t[id_col], value_set=ray.get(drop_ref))))
+
+    return ds.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)

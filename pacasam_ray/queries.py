@@ -1159,6 +1159,48 @@ def q_simhash_neardup(sf_dir: str):
     )
 
 
+def q_minhash_dedup(sf_dir: str):
+    """Full near-dup dedup pipeline over a corpus with planted exact
+    duplicates: MinHash+LSH candidate pairs → EXACT content verification of
+    candidates (broadcast md5 lookup — the standard candidates→verify→cluster
+    shape) → connected components (min-id label) → broadcast drop of
+    non-representatives. Verified pairs merge only identical texts, so the
+    surviving set is SQL-expressible and the clustering path gets an
+    oracle. Drop the verify stage for true near-dup clustering (rows-only)."""
+    import hashlib
+
+    from .functions.dedup import minhash_lsh_pairs, neardup_components, neardup_keep
+
+    docs = _docs_with_dups(sf_dir)
+    pairs = minhash_lsh_pairs(docs, tau=0.9)
+
+    def _fp_map(t: pa.Table) -> pa.Table:
+        fps = pa.array([hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()])
+        return pa.table({"doc_id": t["doc_id"], "fp": fps})
+
+    fp = docs.map_batches(_fp_map, batch_format="pyarrow").to_pandas()
+    fp_ref = ray.put(dict(zip(fp["doc_id"], fp["fp"])))
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(fp_ref)
+        keep = df["doc_a"].map(m).to_numpy() == df["doc_b"].map(m).to_numpy()
+        return df[keep]
+
+    verified = pairs.map_batches(_verify, batch_format="pandas")
+    comps = neardup_components(verified)
+    return neardup_keep(docs.select_columns(["doc_id"]), comps)
+
+
+SQL_MINHASH_DEDUP = f"""
+WITH both_ AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + {DUP_OFFSET}, text FROM documents
+)
+SELECT doc_id FROM both_
+QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""
+
+
 def q_minhash_lsh(sf_dir: str):
     """MinHash(128)+LSH(32 bands) candidate pairs with estimated Jaccard.
     Rows-only (seeded permutations); pytest checks recall vs the exact join."""
@@ -1329,6 +1371,7 @@ def build_queries() -> dict:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_dedup": q_minhash_dedup,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embed_neardup": q_embed_neardup,
@@ -1383,6 +1426,7 @@ def build_oracle_sql() -> dict:
         "text_quality": _sql_text_quality(),
         "fingerprint": _sql_fingerprint(),
         "dedup_text": SQL_DEDUP_TEXT,
+        "minhash_dedup": SQL_MINHASH_DEDUP,
         "ngram_jaccard": _sql_ngram_jaccard(),
         "simhash": _sql_simhash(),
         "simhash_neardup": _sql_simhash_neardup(),

@@ -96,6 +96,19 @@ def test_embed_lsh_subset_and_recall():
     assert len(lp & ep) / len(ep) >= 0.5
 
 
+def test_neardup_components_transitive():
+    """A~B, B~C, D~E ⇒ {A,B,C} labeled min(A), {D,E} labeled min(D);
+    partition layout of the edge stream must not matter."""
+    from pacasam_ray.functions.dedup import neardup_components
+
+    pairs = pd.DataFrame({"doc_a": [5, 3, 9, 3], "doc_b": [3, 7, 8, 5]})
+    for parts in (1, 3):
+        ds = ray.data.from_pandas(pairs).repartition(parts)
+        comp = neardup_components(ds)
+        got = dict(zip(comp["doc_id"], comp["component"]))
+        assert got == {3: 3, 5: 3, 7: 3, 8: 8, 9: 8}
+
+
 def test_ann_topk_batch_invariance():
     """Per-batch pruning must not depend on block layout."""
     from pacasam_ray.functions.similarity import ann_topk, load_query_matrix
