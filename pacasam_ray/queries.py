@@ -1172,21 +1172,26 @@ def q_minhash_dedup(sf_dir: str):
     from .functions.dedup import minhash_lsh_pairs, neardup_components, neardup_keep
 
     docs = _docs_with_dups(sf_dir)
-    pairs = minhash_lsh_pairs(docs, tau=0.9)
+    pairs_df = minhash_lsh_pairs(docs, tau=0.9).to_pandas()  # candidates ≪ corpus
+
+    # verify map restricted to ids appearing in a candidate pair — the only
+    # texts that need hashing; O(candidates), never O(corpus).
+    pair_ids = pa.array(np.union1d(pairs_df["doc_a"].to_numpy(),
+                                   pairs_df["doc_b"].to_numpy()))
 
     def _fp_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["doc_id"], value_set=pair_ids))
         fps = pa.array([hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()])
         return pa.table({"doc_id": t["doc_id"], "fp": fps})
 
     fp = docs.map_batches(_fp_map, batch_format="pyarrow").to_pandas()
-    fp_ref = ray.put(dict(zip(fp["doc_id"], fp["fp"])))
-
-    def _verify(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(fp_ref)
-        keep = df["doc_a"].map(m).to_numpy() == df["doc_b"].map(m).to_numpy()
-        return df[keep]
-
-    verified = pairs.map_batches(_verify, batch_format="pandas")
+    m = dict(zip(fp["doc_id"], fp["fp"]))
+    verified = pairs_df[
+        pairs_df["doc_a"].map(m).to_numpy() == pairs_df["doc_b"].map(m).to_numpy()
+    ]
+    verified = ray.data.from_pandas(verified) if len(verified) else ray.data.from_items(
+        [], override_num_blocks=1
+    )
     comps = neardup_components(verified)
     return neardup_keep(docs.select_columns(["doc_id"]), comps)
 
