@@ -409,7 +409,7 @@ def simhash_neardup_sql(table: str, max_hamming: int = 3,
     return f"""
 WITH sh AS ({inner})
 SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sh a JOIN sh b ON a.{id_col} < b.{id_col}
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """

@@ -90,7 +90,7 @@ WITH m AS (
   FROM {table}
 )
 SELECT doc_id, kind, n_bytes,
-  CASE WHEN kind = 'image' THEN 16 ELSE 0 END AS width,
+  CAST(CASE WHEN kind = 'image' THEN 16 ELSE 0 END AS BIGINT) AS width,
   CASE WHEN kind = 'image' THEN (n_bytes + 15) // 16 ELSE 0 END AS height,
   CASE WHEN kind = 'video' THEN (n_bytes + {FRAME_BYTES - 1}) // {FRAME_BYTES} ELSE 0 END AS n_frames,
   CASE WHEN kind = 'audio' THEN n_bytes * 1000000 // {SAMPLE_RATE * 2} ELSE 0 END AS duration_us

@@ -125,7 +125,8 @@ def ann_topk_sql(table: str, query_ids: list[int], k: int,
 WITH z AS (SELECT {id_col}, {qe} AS e FROM {table}),
 nz AS (SELECT {id_col}, e,
        (SELECT SUM(e[i] * e[i]) FROM generate_series(1, {dim}) t(i)) AS nn FROM z),
-qmap(qid, query_id) AS (VALUES {order}),
+qmap AS (SELECT CAST(qid AS BIGINT) AS qid, CAST(query_id AS BIGINT) AS query_id
+         FROM (VALUES {order}) v(qid, query_id)),
 q AS (SELECT query_id, e AS qe, nn AS qn FROM nz JOIN qmap ON {id_col} = qid),
 d AS (SELECT q.query_id, nz.{id_col},
         (SELECT SUM(qe[i] * nz.e[i]) FROM generate_series(1, {dim}) t(i)) AS dot,

@@ -228,7 +228,7 @@ def q_bool_or(sf_dir: str):
 
 
 SQL_BOOL_OR = (
-    f"SELECT file_id, MAX(CASE WHEN test THEN 1 ELSE 0 END) AS any_test "
+    f"SELECT file_id, CAST(MAX(CASE WHEN test THEN 1 ELSE 0 END) AS BIGINT) AS any_test "
     f"FROM ({CAT}) cat GROUP BY file_id"
 )
 
@@ -347,7 +347,7 @@ def _zone_case_sql() -> str:
         f"WHEN x >= {z[0]!r} AND x <= {z[2]!r} AND y >= {z[1]!r} AND y <= {z[3]!r} THEN {i}"
         for i, z in enumerate(ZONES)
     )
-    return f"CASE {whens} ELSE -1 END"
+    return f"CAST(CASE {whens} ELSE -1 END AS BIGINT)"
 
 
 SQL_SPATIAL_JOIN = (
@@ -389,7 +389,7 @@ def q_knn_kring(sf_dir: str):
 
 
 SQL_KNN = " UNION ALL ".join(
-    f"(SELECT * FROM (SELECT {qi} AS query_id, patch_id, "
+    f"(SELECT * FROM (SELECT CAST({qi} AS BIGINT) AS query_id, patch_id, "
     f"(x - {qx!r}) * (x - {qx!r}) + (y - {qy!r}) * (y - {qy!r}) AS dist2 "
     f"FROM ({CAT}) cat) QUALIFY ROW_NUMBER() OVER (ORDER BY dist2, patch_id) <= {KNN_K})"
     for qi, (qx, qy) in enumerate(KNN_QUERIES)
@@ -853,7 +853,7 @@ def q_json_extract(sf_dir: str):
 
 SQL_JSON_EXTRACT = r"""
 SELECT event_type,
-       SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -980,13 +980,13 @@ WITH e AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id_raw
   FROM e
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_id_raw AS BIGINT) AS session_id, COUNT(*) AS n_events,
        MIN(ts) AS start_ts, MAX(ts) AS end_ts,
        MIN(value) AS min_value, MAX(value) AS max_value
-FROM s GROUP BY user_id, session_id
+FROM s GROUP BY user_id, session_id_raw
 """
 
 
