@@ -1010,10 +1010,28 @@ SQL_GLOBAL_POSITIONS = (
 
 
 def q_join_revenue(sf_dir: str):
-    """Large-large hash join (lineitem ⋈ orders) + exact grouped revenue."""
+    """Large-large hash join (lineitem ⋈ orders) + exact grouped revenue.
+    Lineitems are pre-combined per batch on the join key BEFORE the join
+    (sum is associative), so the shuffle moves one row per order per block
+    (~4× fewer rows than raw lineitems) and the join output is already
+    partially aggregated."""
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
+
+    def _combine(t: pa.Table) -> pa.Table:
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "rev": price_c * (100 - disc_c),
+        })
+        g = df.groupby("l_orderkey", sort=False).agg(
+            rev=("rev", "sum"), n=("rev", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = li.map_batches(_combine, batch_format="pyarrow", zero_copy_batch=True)
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
@@ -1023,14 +1041,13 @@ def q_join_revenue(sf_dir: str):
     )
 
     def _partial(t: pa.Table) -> pa.Table:
-        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        disc_c = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         df = pd.DataFrame({
             "o_orderpriority": np.asarray(t["o_orderpriority"]),
-            "rev": price_c * (100 - disc_c),
+            "rev": t["rev"].to_numpy(zero_copy_only=False),
+            "n": t["n"].to_numpy(zero_copy_only=False),
         })
         g = df.groupby("o_orderpriority", sort=False).agg(
-            rev=("rev", "sum"), n=("rev", "size")
+            rev=("rev", "sum"), n=("n", "sum")
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
