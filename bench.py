@@ -69,11 +69,18 @@ def run_bench() -> dict:
     consume(queries["tile_assign"](SF_DIR))
     n_docs = consume(queries["tile_assign"](SF_DIR))
 
+    # best-of-REPS per query: the sandbox host has noisy neighbors that can
+    # inflate any single timing 3-4× (see BASELINE.md); min is the
+    # least-polluted estimate of engine capability.
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        consume(queries[name](SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            consume(queries[name](SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     out = {
