@@ -31,6 +31,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.partitioning import pick_partitions
+
 MD5_HEX = 15  # 60-bit hashes: fit signed int64 in both numpy and DuckDB
 P31 = 2_147_483_647  # Mersenne prime 2^31-1 for minhash permutations
 
@@ -131,7 +133,8 @@ def ngram_jaccard_pairs(ds, n: int = 3, tau: float = 0.5,
     # A gram shared by g docs yields g² joined rows — at 100 TB scale
     # stop-grams above a document-frequency cap must be dropped, which we
     # deliberately do NOT do here to keep oracle-exact semantics.
-    pairs = ga.join(gb, join_type="inner", num_partitions=4, on=("gram",))
+    pairs = ga.join(gb, join_type="inner",
+                    num_partitions=pick_partitions(ga, gb), on=("gram",))
     pairs = pairs.map_batches(
         lambda t: t.filter(pc.less(t["doc_a"], t["doc_b"])).select(["doc_a", "doc_b"]),
         batch_format="pyarrow",
@@ -139,9 +142,10 @@ def ngram_jaccard_pairs(ds, n: int = 3, tau: float = 0.5,
     inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter"))
     sa = grams.groupby(id_col).aggregate(Count(alias_name="na"))
     sb = grams.groupby(id_col).aggregate(Count(alias_name="nb"))
+    nparts = pick_partitions(grams)
     j = inter.join(
-        sa, join_type="inner", num_partitions=4, on=("doc_a",), right_on=(id_col,)
-    ).join(sb, join_type="inner", num_partitions=4, on=("doc_b",), right_on=(id_col,))
+        sa, join_type="inner", num_partitions=nparts, on=("doc_a",), right_on=(id_col,)
+    ).join(sb, join_type="inner", num_partitions=nparts, on=("doc_b",), right_on=(id_col,))
 
     def _jaccard(t: pa.Table) -> pa.Table:
         i = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)

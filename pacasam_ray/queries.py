@@ -26,6 +26,7 @@ from .sources.pages import extract_text_from_html, pages_from_documents
 from .stages.dedup import dedup_exact_prehashed
 from .stages.filters import exclude_ids, filter_by_boolean_indicator, filter_on_split
 from .stages.normalize import EPSILON, normalize_dataset
+from .stages.partitioning import pick_partitions
 
 CAT = catalogue_sql("documents")
 CAT_FULL = catalogue_sql("documents", extra_cols=("doc_id", "n_chars", "lang"))
@@ -650,9 +651,10 @@ def q_tpch_q3(sf_dir: str):
         lambda t: t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff))),
         batch_format="pyarrow",
     )
-    j = orders.join(cust, join_type="inner", num_partitions=4,
+    j = orders.join(cust, join_type="inner",
+                    num_partitions=pick_partitions(orders, cust),
                     on=("o_custkey",), right_on=("c_custkey",))
-    j = li.join(j, join_type="inner", num_partitions=4,
+    j = li.join(j, join_type="inner", num_partitions=pick_partitions(li, j),
                 on=("l_orderkey",), right_on=("o_orderkey",))
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -733,9 +735,10 @@ def q_tpch_q5(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    oc = orders.join(cust, join_type="inner", num_partitions=4,
+    oc = orders.join(cust, join_type="inner",
+                     num_partitions=pick_partitions(orders, cust),
                      on=("o_custkey",), right_on=("c_custkey",))
-    j = li.join(oc, join_type="inner", num_partitions=4,
+    j = li.join(oc, join_type="inner", num_partitions=pick_partitions(li, oc),
                 on=("l_orderkey",), right_on=("o_orderkey",))
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -797,7 +800,7 @@ def q_tpch_q14(sf_dir: str):
         )).select(["l_partkey", "l_extendedprice", "l_discount"]),
         batch_format="pyarrow",
     )
-    j = li.join(part, join_type="inner", num_partitions=4,
+    j = li.join(part, join_type="inner", num_partitions=pick_partitions(li, part),
                 on=("l_partkey",), right_on=("p_partkey",))
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -1036,7 +1039,7 @@ def q_join_revenue(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
     joined = li.join(
-        orders, join_type="inner", num_partitions=8,
+        orders, join_type="inner", num_partitions=pick_partitions(li, orders),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 

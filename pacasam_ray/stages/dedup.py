@@ -9,11 +9,13 @@ NOT "first seen", which is partition-order dependent).
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
-def dedup_exact(ds, key: str, tiebreak: str | None = None, num_partitions: int = 8):
+def dedup_exact(ds, key: str, tiebreak: str | None = None,
+                num_partitions: int | None = None):
     """Keep the row with the smallest ``tiebreak`` per ``key`` group.
 
     Plan: ``groupby(key).aggregate(Min(tiebreak))`` → equi-join the (key,
@@ -25,6 +27,10 @@ def dedup_exact(ds, key: str, tiebreak: str | None = None, num_partitions: int =
     """
     from ray.data.aggregate import Min
 
+    from .partitioning import pick_partitions
+
+    if num_partitions is None:
+        num_partitions = pick_partitions(ds)
     tb = tiebreak or key
     reps = ds.groupby(key, num_partitions=num_partitions).aggregate(
         Min(tb, alias_name="__min_tb")
@@ -41,8 +47,16 @@ def dedup_exact_prehashed(ds, key: str, tiebreak: str):
     instead of every duplicate."""
 
     def _local(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values([key, tiebreak], kind="mergesort").drop_duplicates(subset=[key])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native (no pandas round-trip through object-dtype strings):
+        # sort by (key, tiebreak) and keep the first row of each key run.
+        if batch.num_rows <= 1:
+            return batch
+        t = batch.sort_by([(key, "ascending"), (tiebreak, "ascending")])
+        k = t[key].combine_chunks()
+        first = np.ones(len(k), dtype=bool)
+        first[1:] = ~pc.equal(k.slice(1), k.slice(0, len(k) - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        return t.filter(pa.array(first))
 
     return dedup_exact(ds.map_batches(_local, batch_format="pyarrow"), key, tiebreak)
