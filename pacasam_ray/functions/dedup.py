@@ -101,14 +101,22 @@ def explode_ngrams(ds, n: int = 3, text_col: str = "text", id_col: str = "doc_id
 
 
 def ngram_jaccard_pairs(ds, n: int = 3, tau: float = 0.5,
-                        text_col: str = "text", id_col: str = "doc_id"):
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_doc_freq: int | None = None):
     """Exact n-gram Jaccard similarity join, fully distributed:
 
       shingles → groupby(gram): emit candidate pairs (the inverted-index
-      join; a gram shared by g docs emits C(g,2) pairs — at 100 TB scale
-      stop-grams above a document-frequency cap must be dropped, which we
-      deliberately do NOT do here to keep oracle-exact semantics) →
-      groupby(pair): |A∩B| → join per-doc set sizes twice → J = i/(na+nb−i).
+      join; a gram shared by g docs emits C(g,2) pairs) → groupby(pair):
+      |A∩B| → join per-doc set sizes twice → J = i/(na+nb−i).
+
+    ``max_doc_freq`` is the scale path: grams appearing in more than that
+    many documents (stop-grams) are dropped BEFORE the pair join, bounding
+    the join fan-out at C(max_doc_freq, 2) rows per gram. Jaccard is then
+    computed over the filtered gram universe (both intersection AND set
+    sizes exclude hot grams — consistent semantics, SQL-expressible, so the
+    capped variant keeps its own exact oracle). With the default ``None``
+    the join is the uncapped all-pairs oracle — correct but quadratic in
+    hot-gram document frequency, so not runnable on a 100 TB corpus.
 
     Returns (doc_a, doc_b, jaccard) for all pairs with J ≥ tau. Bit-exact:
     J is one IEEE division of exact integer counts.
@@ -120,6 +128,27 @@ def ngram_jaccard_pairs(ds, n: int = 3, tau: float = 0.5,
     # 100 TB equivalent is a parquet checkpoint; in-memory materialize is the
     # single-node stand-in.)
     grams = explode_ngrams(ds, n=n, text_col=text_col, id_col=id_col).materialize()
+
+    if max_doc_freq is not None:
+        # Identify hot grams with one count-shuffle, then broadcast the hot
+        # set (heavy hitters are few — Zipf: at most total_grams/cap distinct
+        # values, in practice a tiny head) and anti-filter per batch. This
+        # avoids a second full join just to apply the cap.
+        import ray as _ray
+
+        dfreq = grams.groupby("gram").aggregate(Count(alias_name="df"))
+        hot = dfreq.filter(expr=f"df > {int(max_doc_freq)}") \
+                   .select_columns(["gram"]).to_pandas()
+        hot_list = hot["gram"].tolist() if "gram" in hot.columns else []
+        if hot_list:
+            hot_ref = _ray.put(pa.array(hot_list, type=pa.string()))
+
+            def _drop_hot(t: pa.Table) -> pa.Table:
+                return t.filter(
+                    pc.invert(pc.is_in(t["gram"], value_set=_ray.get(hot_ref)))
+                )
+
+            grams = grams.map_batches(_drop_hot, batch_format="pyarrow").materialize()
 
     def _as(name):
         def _f(t: pa.Table) -> pa.Table:
@@ -161,12 +190,22 @@ def ngram_jaccard_pairs(ds, n: int = 3, tau: float = 0.5,
 
 
 def ngram_jaccard_sql(table: str, n: int = 3, tau: float = 0.5,
-                      text_col: str = "text", id_col: str = "doc_id") -> str:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_doc_freq: int | None = None) -> str:
     gram = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
-    return f"""
-WITH toks AS (SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}),
-grams AS (SELECT DISTINCT {id_col}, {gram} AS g
+    cap_cte = ""
+    if max_doc_freq is not None:
+        cap_cte = f"""
+all_grams AS (SELECT DISTINCT {id_col}, {gram} AS g
           FROM toks, UNNEST(generate_series(1, len(w) - {n - 1})) AS t(i)),
+kept AS (SELECT g FROM all_grams GROUP BY g HAVING COUNT(*) <= {int(max_doc_freq)}),
+grams AS (SELECT all_grams.* FROM all_grams JOIN kept USING (g)),"""
+    else:
+        cap_cte = f"""
+grams AS (SELECT DISTINCT {id_col}, {gram} AS g
+          FROM toks, UNNEST(generate_series(1, len(w) - {n - 1})) AS t(i)),"""
+    return f"""
+WITH toks AS (SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}),{cap_cte}
 sizes AS (SELECT {id_col}, COUNT(*) AS n FROM grams GROUP BY 1),
 pairs AS (SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, COUNT(*) AS inter
           FROM grams a JOIN grams b USING (g)

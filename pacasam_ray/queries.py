@@ -1161,6 +1161,23 @@ def q_ngram_jaccard(sf_dir: str):
     )
 
 
+NGRAM_DF_CAP = 25
+
+
+def q_ngram_jaccard_capped(sf_dir: str):
+    """Scale path of the similarity join: grams seen in more than
+    NGRAM_DF_CAP docs are dropped before the pair join (bounds fan-out at
+    C(cap,2) rows/gram); Jaccard over the filtered gram universe. Still
+    SQL-expressible, so it keeps its own exact oracle."""
+    from .functions.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(sf_dir), n=3, tau=JACCARD_TAU,
+                              max_doc_freq=NGRAM_DF_CAP)
+    return out.map_batches(
+        lambda t: t.select(["doc_a", "doc_b", "jaccard"]), batch_format="pyarrow"
+    )
+
+
 def q_simhash(sf_dir: str):
     """60-bit md5-portable SimHash per document (actor-pool stage)."""
     from .functions.dedup import simhash_dataset
@@ -1393,6 +1410,7 @@ def build_queries() -> dict:
         "lang_id": q_lang_id,
         "dedup_text": q_dedup_text,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "minhash_lsh": q_minhash_lsh,
@@ -1453,6 +1471,7 @@ def build_oracle_sql() -> dict:
         "dedup_text": SQL_DEDUP_TEXT,
         "minhash_dedup": SQL_MINHASH_DEDUP,
         "ngram_jaccard": _sql_ngram_jaccard(),
+        "ngram_jaccard_capped": _sql_ngram_jaccard(max_doc_freq=NGRAM_DF_CAP),
         "simhash": _sql_simhash(),
         "simhash_neardup": _sql_simhash_neardup(),
         "ann_topk": _sql_ann_topk(),
@@ -1474,10 +1493,11 @@ def _sql_fingerprint() -> str:
     return md5_fingerprint_sql("documents")
 
 
-def _sql_ngram_jaccard() -> str:
+def _sql_ngram_jaccard(max_doc_freq: int | None = None) -> str:
     from .functions.dedup import ngram_jaccard_sql
 
-    return ngram_jaccard_sql("documents", n=3, tau=JACCARD_TAU)
+    return ngram_jaccard_sql("documents", n=3, tau=JACCARD_TAU,
+                             max_doc_freq=max_doc_freq)
 
 
 def _sql_simhash() -> str:

@@ -211,3 +211,46 @@ def test_frame_sample_bytes_roundtrip():
         payload = media.loc[int(r["doc_id"]), "payload"]
         fi = int(r["frame_idx"])
         assert r["frame"] == payload[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+
+
+def test_ngram_jaccard_df_cap_drops_stop_grams_keeps_neardups():
+    """Planted corpus: every doc shares boilerplate (grams above any small
+    df-cap); doc pairs (2i, 2i+1) additionally share rare grams. The capped
+    join must (a) still find every planted near-dup pair, and (b) actually
+    run on fewer grams than the exact join (the boilerplate is dropped)."""
+    from ray.data.aggregate import Count
+
+    from pacasam_ray.functions.dedup import explode_ngrams, ngram_jaccard_pairs
+
+    boiler = "terms of service apply to all visitors of this site"
+    rows = []
+    for i in range(20):
+        rare = f"unique topic {i // 2} alpha beta gamma delta epsilon zeta"
+        rows.append({"doc_id": 2 * i, "text": f"{boiler} {rare}"})
+        rows.append({"doc_id": 2 * i + 1, "text": f"{boiler} {rare} extra"})
+    # double each doc so the corpus isn't trivially tiny per block
+    ds = ray.data.from_items(rows, override_num_blocks=4)
+
+    cap = 5
+    exact = ngram_jaccard_pairs(ds, n=3, tau=0.3).to_pandas()
+    capped = ngram_jaccard_pairs(ds, n=3, tau=0.3, max_doc_freq=cap).to_pandas()
+
+    planted = {(4 * j, 4 * j + 1) for j in range(10)} | {
+        (4 * j + 2, 4 * j + 3) for j in range(10)
+    }
+    got_exact = set(zip(exact.doc_a, exact.doc_b))
+    got_capped = set(zip(capped.doc_a, capped.doc_b))
+    # exact finds the planted pairs; capped keeps them (recall floor = 1.0
+    # here because the planted overlap is rare-gram overlap)
+    assert planted <= got_exact
+    assert planted <= got_capped
+    # the boilerplate grams really were dropped: with cap=5 and 40 docs all
+    # sharing the boilerplate, cross-topic pairs (joined only via
+    # boilerplate) disappear
+    cross_topic = {p for p in got_capped if p[0] // 4 != p[1] // 4}
+    assert not cross_topic
+    # and the capped gram universe is strictly smaller
+    grams = explode_ngrams(ds, n=3)
+    df = grams.groupby("gram").aggregate(Count(alias_name="df"))
+    n_hot = df.filter(expr=f"df > {cap}").count()
+    assert n_hot > 0
