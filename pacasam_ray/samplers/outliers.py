@@ -8,17 +8,24 @@ the top-k rows by ``outlier_scores`` (O6), val-split stratified over
 hdbscan is not available in this environment, and a global single-actor fit
 does not scale to 10^12 rows anyway. The engine substitutes a
 fit-on-sample / score-distributed design with the same selection semantics
-(cluster labels + a monotone outlier score, top-k by score):
+(cluster labels + a monotone *density* outlier score, top-k by score):
 
 1. deterministic hash-rank subsample (≤ fit_sample_size rows) → driver fits
    k-means (pure numpy, fixed seed, Lloyd iterations) on standardized
-   features;
-2. centers broadcast once (ray.put); a stateless map_batches stage scores
-   every row: cluster_id = nearest center, outlier_score = distance to that
-   center rescaled by the per-cluster max distance observed in the fit
-   sample (≈ GLOSH's "how far out of your own cluster are you");
-3. top-k by (score desc, patch_id) via per-batch partial top-k — no global
-   sort.
+   features for the cluster labels;
+2. density model à la GLOSH: d_k(x) = distance to the k-th nearest neighbor
+   in a hash-rank reference subset of the fit sample is the (inverse)
+   density estimate; each cluster's density peak eps(c) = min d_k over its
+   fit-sample members. score(x) = clip(1 − eps(c(x)) / d_k(x), 0, 1) —
+   the direct analog of GLOSH's 1 − λ(x)/λ_max(cluster): ≈0 for points as
+   dense as their cluster's core, →1 for points in low-density regions.
+   This scores "density outlier", not merely "far from my centroid": a
+   point midway between two tight clusters now ranks high even when its
+   centroid distance is ordinary;
+3. centers + reference matrix + per-cluster peaks broadcast once
+   (ray.put); a stateless map_batches stage labels and scores every row
+   with one |x|²−2x·refᵀ+|ref|² kernel; top-k by (score desc, patch_id)
+   via per-batch partial top-k — no global sort.
 """
 
 from __future__ import annotations
@@ -34,8 +41,12 @@ from ..stages.normalize import normalize_dataset
 from .base import FILE_ID_COLNAME, PATCH_ID_COLNAME, Sampler
 
 
+EPS_DIST = 1e-12
+
+
 def kmeans_fit(arr: np.ndarray, n_clusters: int, n_iter: int = 10, salt: int = 4242):
-    """Deterministic numpy k-means: centers seeded by hash-rank rows."""
+    """Deterministic numpy k-means: centers seeded by hash-rank rows.
+    Returns (centers, labels) over the fit sample."""
     n = len(arr)
     n_clusters = max(1, min(n_clusters, n))
     r = rank_key(np.arange(n, dtype=np.int64), salt)
@@ -48,27 +59,61 @@ def kmeans_fit(arr: np.ndarray, n_clusters: int, n_iter: int = 10, salt: int = 4
             if m.any():
                 centers[k] = arr[m].mean(0)
     d = ((arr[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
-    lab = d.argmin(1)
-    dist = np.sqrt(d[np.arange(n), lab])
-    scale = np.ones(n_clusters)
-    for k in range(n_clusters):
-        m = lab == k
+    return centers, d.argmin(1)
+
+
+def _knn_dist(arr: np.ndarray, ref: np.ndarray, k: int) -> np.ndarray:
+    """Distance from each row of ``arr`` to its k-th (0-based) nearest row
+    in ``ref`` — one |x|²−2x·refᵀ+|ref|² kernel, no Python loop. The 0-based
+    index makes the estimate self-exclusive for ref members (their d=0 self
+    match occupies slot 0)."""
+    d2 = (
+        (arr * arr).sum(1, keepdims=True)
+        - 2.0 * (arr @ ref.T)
+        + (ref * ref).sum(1)[None, :]
+    )
+    np.maximum(d2, 0.0, out=d2)
+    kth = np.partition(d2, k, axis=1)[:, k]
+    return np.sqrt(kth)
+
+
+def fit_outlier_model(arr: np.ndarray, n_clusters: int, knn_k: int = 16,
+                      ref_size: int = 4096, salt: int = 4242):
+    """Fit the broadcastable outlier model on the (standardized) fit sample:
+    k-means centers for labels + a GLOSH-like density calibration.
+
+    Returns (centers, ref, k, eps) where ``ref`` is a hash-rank reference
+    subset for kNN density estimates and ``eps[c]`` is cluster c's density
+    peak (min k-NN distance over its fit-sample members)."""
+    centers, labels = kmeans_fit(arr, n_clusters, salt=salt)
+    n = len(arr)
+    ref_idx = np.argsort(rank_key(np.arange(n, dtype=np.int64), salt + 1),
+                         kind="stable")[: min(ref_size, n)]
+    ref = np.ascontiguousarray(arr[ref_idx], dtype=np.float64)
+    k = max(1, min(knn_k, len(ref) - 1))
+    dk = _knn_dist(arr.astype(np.float64), ref, k)
+    eps = np.full(len(centers), max(np.min(dk), EPS_DIST))
+    for c in range(len(centers)):
+        m = labels == c
         if m.any():
-            scale[k] = max(dist[m].max(), 1e-12)
-    return centers, scale
+            eps[c] = max(dk[m].min(), EPS_DIST)
+    return centers, ref, k, eps
 
 
 def _score_fn(model_ref, cols):
-    """Stateless scoring stage: nearest-center labeling + rescaled distance
-    score (centers broadcast once via the object store)."""
+    """Stateless scoring stage (model broadcast once via the object store):
+    cluster_id = nearest k-means center; outlier_scores = GLOSH-like
+    1 − eps(cluster)/d_k(x), clipped to [0, 1]."""
 
     def _score(batch: pa.Table) -> pa.Table:
-        centers, scale = ray.get(model_ref)
-        arr = np.column_stack([batch[c].to_numpy(zero_copy_only=False) for c in cols])
+        centers, ref, k, eps = ray.get(model_ref)
+        arr = np.column_stack(
+            [batch[c].to_numpy(zero_copy_only=False) for c in cols]
+        ).astype(np.float64)
         d = ((arr[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
         lab = d.argmin(1)
-        dist = np.sqrt(d[np.arange(len(arr)), lab])
-        score = np.clip(dist / scale[lab], 0.0, None)
+        dk = np.maximum(_knn_dist(arr, ref, k), EPS_DIST)
+        score = np.clip(1.0 - eps[lab] / dk, 0.0, 1.0)
         batch = batch.append_column("cluster_id", pa.array(lab.astype(np.int64)))
         batch = batch.append_column("outlier_scores", pa.array(score))
         return batch
@@ -84,6 +129,8 @@ class OutliersSampler(Sampler):
         cols = list(ocf["columns"])
         n_clusters = int(ocf.get("n_clusters", ocf.get("hdbscan_kwargs", {}).get("min_cluster_size", 8)))
         fit_sample_size = int(ocf.get("fit_sample_size", 100_000))
+        knn_k = int(ocf.get("knn_k", 16))
+        density_ref_size = int(ocf.get("density_ref_size", 4096))
 
         # The normalized projection feeds two scans (fit-sample + scoring);
         # both stream — no mid-pipeline materialization of the full dataset.
@@ -103,7 +150,10 @@ class OutliersSampler(Sampler):
         sample = smallest_n(
             ranked, fit_sample_size, col="__r", tiebreak=PATCH_ID_COLNAME
         ).to_pandas()
-        model = kmeans_fit(sample[cols].to_numpy(), n_clusters)
+        model = fit_outlier_model(
+            sample[cols].to_numpy(), n_clusters,
+            knn_k=knn_k, ref_size=density_ref_size,
+        )
         model_ref = ray.put(model)
 
         # 2. distributed scoring

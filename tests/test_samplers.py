@@ -137,3 +137,36 @@ def test_stratified_shuffle_path_matches_driver_merge(catalogue, monkeypatch):
             fast_m[k].sort_values("patch_id").reset_index(drop=True),
             slow_m[k].sort_values("patch_id").reset_index(drop=True),
         )
+
+
+def test_outlier_density_score_recalls_planted_outliers():
+    """GLOSH-fidelity check: two dense blobs + planted sparse points. The
+    density score must rank every planted outlier above every blob member,
+    and land near 1.0 for points in genuinely empty regions (the GLOSH-like
+    [0,1] calibration, which a raw center-distance ratio does not give)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pacasam_ray.samplers.outliers import _score_fn, fit_outlier_model
+    import ray
+
+    rng = np.random.default_rng(7)
+    blob_a = rng.normal(loc=(0.0, 0.0), scale=0.05, size=(400, 2))
+    blob_b = rng.normal(loc=(4.0, 0.0), scale=0.05, size=(400, 2))
+    outliers = np.array(
+        [[2.0, 0.0], [2.0, 2.0], [-2.0, -2.0], [6.0, 2.0], [0.0, 3.0],
+         [4.0, -3.0], [-1.5, 1.5], [5.5, -2.0], [2.0, -2.5], [1.0, 2.5]]
+    )
+    arr = np.vstack([blob_a, blob_b, outliers])
+    model = fit_outlier_model(arr, n_clusters=2, knn_k=8, ref_size=len(arr))
+    model_ref = ray.put(model)
+
+    batch = pa.table({"f0": arr[:, 0], "f1": arr[:, 1]})
+    scored = _score_fn(model_ref, ["f0", "f1"])(batch)
+    score = scored["outlier_scores"].to_numpy()
+    blob_max = score[:800].max()
+    outlier_min = score[800:].min()
+    assert outlier_min > blob_max
+    # the midpoint between the blobs sits in a density desert: calibrated
+    # score ≈ 1, not merely "bigger than the blobs'"
+    assert score[800] > 0.9
