@@ -471,11 +471,11 @@ def neardup_components(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b") -> 
 
     The edge list streams through the driver ONCE via ``iter_batches`` (never
     materialized as a whole) and memory is O(ids that appear in any pair) —
-    the duplicated subset, orders of magnitude smaller than the corpus. At
-    10^12-row scale with billions of edges this becomes iterated
-    hash-partition label propagation (join pairs↔labels until fixpoint);
-    union-find-on-the-driver is the standard single-pass plan while the
-    pair set fits one machine (it did for every published web-dedup run).
+    the duplicated subset, orders of magnitude smaller than the corpus.
+    Union-find-on-the-driver is the fast single-pass plan while the pair
+    set fits one machine; when it doesn't (billions of edges),
+    :func:`neardup_components_distributed` computes the identical labeling
+    as iterated hash-partition label propagation.
     """
     parent: dict[int, int] = {}
 
@@ -506,6 +506,69 @@ def neardup_components(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b") -> 
         "doc_id": list(parent),
         "component": [find(x) for x in parent],
     }).astype({"doc_id": np.int64, "component": np.int64}).sort_values(
+        "doc_id", kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def neardup_components_distributed(pairs_ds, a_col: str = "doc_a",
+                                   b_col: str = "doc_b",
+                                   max_iters: int = 50) -> pd.DataFrame:
+    """Scale path of :func:`neardup_components`: iterated min-label
+    propagation expressed as hash shuffles — no driver-side graph state, so
+    billions of edges partition across the cluster.
+
+    Each round ships every vertex's current label to its neighbors
+    (edges ⋈ labels) and takes the per-vertex min; labels decrease
+    monotonically to the component's min id in O(diameter) rounds (dup
+    clusters are near-cliques, so 2-4 rounds in practice). The fixpoint
+    test rides the same monotonicity: the global label sum strictly
+    decreases until converged, so one tiny Sum aggregate per round replaces
+    a changed-rows join. Result is identical to the driver union-find
+    (component = min doc id), asserted by pytest on random graphs.
+    """
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.partitioning import pick_partitions
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": np.concatenate([a, b]), "u": np.concatenate([b, a])})
+
+    edges = pairs_ds.map_batches(_sym, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "component": pd.Series([], dtype=np.int64)})
+    nparts = pick_partitions(edges)
+
+    # Init = first propagation round for free: label(v) = min(v, N(v)).
+    labels = edges.groupby("v", num_partitions=nparts).aggregate(
+        Min("u", alias_name="lab")
+    ).map_batches(
+        lambda t: pa.table({"v": t["v"],
+                            "lab": pc.min_element_wise(t["v"], t["lab"])}),
+        batch_format="pyarrow",
+    ).materialize()
+    cur_sum = labels.aggregate(Sum("lab", alias_name="s"))["s"]
+
+    for _ in range(max_iters):
+        neigh = edges.join(
+            labels.map_batches(
+                lambda t: t.rename_columns(["w", "lab"]), batch_format="pyarrow"
+            ),
+            join_type="inner", num_partitions=nparts, on=("u",), right_on=("w",),
+        ).map_batches(lambda t: t.select(["v", "lab"]), batch_format="pyarrow")
+        labels = neigh.union(labels).groupby("v", num_partitions=nparts).aggregate(
+            Min("lab", alias_name="lab")
+        ).materialize()
+        new_sum = labels.aggregate(Sum("lab", alias_name="s"))["s"]
+        if new_sum == cur_sum:
+            break
+        cur_sum = new_sum
+
+    out = labels.to_pandas().rename(columns={"v": "doc_id", "lab": "component"})
+    return out.astype({"doc_id": np.int64, "component": np.int64}).sort_values(
         "doc_id", kind="mergesort"
     ).reset_index(drop=True)
 

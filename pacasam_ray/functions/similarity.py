@@ -193,7 +193,10 @@ WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))
 
 class _HyperplaneSigner:
     """Actor-pool stage: seeded random hyperplanes drawn once per actor;
-    emits one row per (vector, table): 16-bit sign-signature bucket."""
+    emits one row per (vector, table): sign-signature bucket key ONLY — the
+    vector itself never enters the shuffle (that would multiply shuffle
+    volume by n_tables; verification re-reads vectors from a broadcast side
+    table)."""
 
     def __init__(self, n_tables: int, bits: int, dim: int, seed: int,
                  id_col: str, emb_col: str):
@@ -206,34 +209,50 @@ class _HyperplaneSigner:
     def __call__(self, t: pa.Table) -> pa.Table:
         ez = _batch_qmat(t, self.emb_col).astype(np.float64)
         ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        out_id, out_tab, out_key, out_vec = [], [], [], []
+        out_id, out_tab, out_key = [], [], []
         for tab in range(self.n_tables):
             signs = (ez @ self.planes[tab]) > 0
             keys = (signs.astype(np.int64) * self._pows[None, :]).sum(axis=1)
             out_id.append(ids)
             out_tab.append(np.full(len(ids), tab, dtype=np.int64))
             out_key.append(keys)
-        ez_int = _batch_qmat(t, self.emb_col)
-        vec_list = pa.array(
-            np.tile(ez_int, (self.n_tables, 1)).tolist(), pa.list_(pa.int64())
-        )
         return pa.table({
             self.id_col: np.concatenate(out_id),
             "tab": np.concatenate(out_tab),
             "key": np.concatenate(out_key),
-            "vec": vec_list,
         })
 
 
 def embed_neardup_lsh(ds, tau: float = 0.4, n_tables: int = 24, bits: int = 5,
                       seed: int = 23, id_col: str = "vec_id",
                       emb_col: str = "embedding",
-                      concurrency: int | tuple = (1, 8)):
+                      concurrency: int | tuple = (1, 8),
+                      corpus_path: str | None = None):
     """Scale path: random-hyperplane LSH buckets → per-bucket exact cosine
     verification → pair dedup. Output ⊆ exact result; recall grows with
     n_tables (collision prob per table = (1 − θ/π)^bits).
+
+    Shuffle discipline: only (id, tab, key) rows move — 3 ints per
+    (vector, table), not a vector copy per table. The quantized corpus
+    matrix is built once (from ``corpus_path`` when given, else collected
+    from ``ds``), sorted by id, and broadcast via ``ray.put``; each bucket
+    group re-reads its members' vectors by ``np.searchsorted``. For a
+    corpus too large for the object store, the side table becomes a hash
+    join of (id → vector) against the DISTINCT bucketed ids — still one
+    vector copy per id, never one per (id, table).
     """
     dim = len(ds.take(1)[0][emb_col])
+    if corpus_path is not None:
+        t = pq.read_table(corpus_path, columns=[id_col, emb_col])
+    else:
+        t = pa.concat_tables(
+            ray.get(ds.select_columns([id_col, emb_col]).to_arrow_refs())
+        )
+    ids_all = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids_all, kind="stable")
+    mat = quantize(np.stack(t[emb_col].combine_chunks().to_numpy(zero_copy_only=False)))
+    side_ref = ray.put((ids_all[order], np.ascontiguousarray(mat[order])))
+
     sigs = ds.map_batches(
         _HyperplaneSigner, batch_format="pyarrow",
         fn_constructor_args=(n_tables, bits, dim, seed, id_col, emb_col),
@@ -245,9 +264,9 @@ def embed_neardup_lsh(ds, tau: float = 0.4, n_tables: int = 24, bits: int = 5,
             return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                                  "doc_b": pd.Series([], dtype=np.int64),
                                  "cos": pd.Series([], dtype=np.float64)})
-        g = g.sort_values(id_col, kind="mergesort")
-        ids = g[id_col].to_numpy()
-        m = np.stack(g["vec"].to_numpy()).astype(np.int64)
+        ids_sorted, m_all = ray.get(side_ref)
+        ids = np.sort(g[id_col].to_numpy().astype(np.int64))
+        m = m_all[np.searchsorted(ids_sorted, ids)]
         n = (m * m).sum(axis=1)
         dots = m @ m.T
         cos = cosine_from_ints(dots, n[:, None], n[None, :])
@@ -258,10 +277,11 @@ def embed_neardup_lsh(ds, tau: float = 0.4, n_tables: int = 24, bits: int = 5,
 
     pairs = sigs.groupby(["tab", "key"]).map_groups(_verify, batch_format="pandas")
 
-    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # A pair found in k tables appears k times with an identical cos —
+    # dedup is a vectorized Min aggregate, not a per-group Python callback.
+    from ray.data.aggregate import Min
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(_dedup, batch_format="pandas")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("cos", alias_name="cos"))
 
 
 # ---------------------------------------------------------------------------
@@ -284,16 +304,14 @@ def fit_ivf_centroids(ds, nlist: int, *, sample_size: int = 100_000,
     workers by broadcast. Vectors are L2-normalized so the assignment metric
     (max dot) matches cosine.
     """
-    def _local_smallest(t: pa.Table) -> pa.Table:
-        if t.num_rows <= sample_size:
-            return t.select([id_col, emb_col])
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        idx = np.argpartition(ids, sample_size - 1)[:sample_size]
-        return t.select([id_col, emb_col]).take(pa.array(np.sort(idx)))
+    from ..samplers.algos import smallest_n
 
-    parts = ds.map_batches(_local_smallest, batch_format="pyarrow",
-                           zero_copy_batch=True).to_pandas()
-    parts = parts.sort_values(id_col, kind="mergesort").head(sample_size)
+    # smallest_n is the tree-reduced, bounded-buffer top-n: driver memory
+    # stays O(sample_size), not O(blocks × sample_size).
+    parts = smallest_n(
+        ds.select_columns([id_col, emb_col]), sample_size,
+        col=id_col, tiebreak=id_col,
+    ).to_pandas()
     mat = np.stack(parts[emb_col].to_numpy()).astype(np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 

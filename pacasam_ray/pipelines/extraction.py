@@ -59,6 +59,38 @@ def check_sampling_format(schema: pa.Schema) -> None:
             raise TypeError(f"sampling column {name!r} has type {actual}, expected {typ}")
 
 
+def check_all_files_exist(ds, path_col: str, max_report: int = 10) -> None:
+    """S7 preflight (reference ``check_all_files_exist`` +
+    ``raise_explicit_FileNotFoundError``, extractors/extractor.py:76-87):
+    validate that every input path exists BEFORE any extraction work runs,
+    and fail with an informative, truncated list of the missing ones.
+
+    Distributed: each batch stats its own paths (metadata-only work fanned
+    out across workers) and ships back ONLY the missing ones; the driver
+    pulls at most ``max_report + 1`` rows (limit short-circuits the scan),
+    so a preflight over 10^9 paths costs one streaming pass and O(1)
+    driver memory.
+    """
+
+    def _missing(t: pa.Table) -> pa.Table:
+        miss = [p for p in t[path_col].to_pylist() if not Path(p).exists()]
+        return pa.table({"missing": pa.array(miss, pa.string())})
+
+    found = (
+        ds.map_batches(_missing, batch_format="pyarrow")
+        .limit(max_report + 1)
+        .to_pandas()
+    )
+    if len(found):
+        paths = found["missing"].tolist()
+        if len(paths) > max_report:
+            paths = paths[:max_report] + ["..."]
+        listing = "\n".join(paths)
+        raise FileNotFoundError(
+            f"Expected files to exist and be accessible: \n{listing}"
+        )
+
+
 def _shard_of(file_ids: pd.Series, num_shards: int) -> np.ndarray:
     # hash the slab key string deterministically (python hash is salted; use
     # a stable fold over bytes)

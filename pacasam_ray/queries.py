@@ -411,15 +411,19 @@ def q_cell_density(sf_dir: str):
 
     parts = cat.map_batches(_counts, batch_format="pyarrow").to_pandas()
     raster = parts.groupby("cell", sort=False)["n"].sum()  # the "raster": cell → density
-    raster_ref = ray.put(dict(zip(raster.index.to_numpy(), raster.to_numpy())))
+    # Broadcast as two sorted numpy arrays: the lookup is a vectorized
+    # np.searchsorted, not a per-row Python dict probe.
+    cells_sorted = np.sort(raster.index.to_numpy(dtype=np.int64))
+    dens_sorted = raster.reindex(cells_sorted).to_numpy(dtype=np.int64)
+    raster_ref = ray.put((cells_sorted, dens_sorted))
 
     def _colorize(t: pa.Table) -> pa.Table:
-        r = ray.get(raster_ref)
-        dens = pd.Series(t["cell"].to_numpy(zero_copy_only=False)).map(r)
+        cells, dens = ray.get(raster_ref)
+        key = t["cell"].to_numpy(zero_copy_only=False)
         return pa.table({
             "patch_id": t["patch_id"],
             "cell": t["cell"],
-            "cell_density": pa.array(dens.to_numpy(dtype=np.int64)),
+            "cell_density": pa.array(dens[np.searchsorted(cells, key)]),
         })
 
     return cat.map_batches(_colorize, batch_format="pyarrow", zero_copy_batch=True)
@@ -1206,7 +1210,11 @@ def q_minhash_dedup(sf_dir: str):
     oracle. Drop the verify stage for true near-dup clustering (rows-only)."""
     import hashlib
 
-    from .functions.dedup import minhash_lsh_pairs, neardup_components, neardup_keep
+    from .functions.dedup import (
+        minhash_lsh_pairs,
+        neardup_components_distributed,
+        neardup_keep,
+    )
 
     docs = _docs_with_dups(sf_dir)
     pairs_df = minhash_lsh_pairs(docs, tau=0.9).to_pandas()  # candidates ≪ corpus
@@ -1229,7 +1237,7 @@ def q_minhash_dedup(sf_dir: str):
     verified = ray.data.from_pandas(verified) if len(verified) else ray.data.from_items(
         [], override_num_blocks=1
     )
-    comps = neardup_components(verified)
+    comps = neardup_components_distributed(verified)
     return neardup_keep(docs.select_columns(["doc_id"]), comps)
 
 
@@ -1301,10 +1309,9 @@ def q_embed_neardup_lsh(sf_dir: str):
     rows-only; pytest asserts subset-of-exact + recall floor)."""
     from .functions.similarity import embed_neardup_lsh
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    out = embed_neardup_lsh(ds, tau=NEARDUP_TAU)
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    out = embed_neardup_lsh(ds, tau=NEARDUP_TAU, corpus_path=path)
     return out.map_batches(
         lambda df: df[["doc_a", "doc_b", "cos"]], batch_format="pandas"
     )

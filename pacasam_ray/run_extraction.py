@@ -51,8 +51,9 @@ def run(args: argparse.Namespace) -> dict:
     selection = ray.data.read_parquet(
         args.sampling_path, columns=["patch_id", "split", "sampler"]
     ).to_pandas()
-    if selection["split"].isna().all():  # CopySampler stamps split=None
-        selection = selection.assign(split="train")
+    # CopySampler stamps split=None; fill per-row (a PARTIALLY-null split
+    # must not let the resume filter's binary_join drop those rows).
+    selection = selection.assign(split=selection["split"].fillna("train"))
     sampling_ds = attach_pages(selection, args.pages_dir)
     summary = run_extraction(sampling_ds, args.dataset_root_path, num_shards=args.num_shards)
     log.info("extraction summary: %s", summary)

@@ -47,7 +47,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler_class", default="TripleSampler")
     p.add_argument("--output_path", required=True)
     p.add_argument("--split", default="any", choices=["any", "train", "test"])
-    p.add_argument("--make_stats", action="store_true", default=True)
+    p.add_argument("--make_stats", action=argparse.BooleanOptionalAction,
+                   default=True, help="write the stats CSVs (--no-make_stats to skip)")
     return p
 
 

@@ -25,6 +25,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray.data
 
 from ..hashing import rank_key
 
@@ -50,9 +51,28 @@ def add_rank(ds, salt: int, key: str = "patch_id", columns: list[str] | None = N
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def smallest_n(ds, n: int, col: str = RANK_COL, tiebreak: str = "patch_id") -> pa.Table:
-    """Global top-n smallest by (col, tiebreak): per-batch partial top-n
-    (np.partition) then a tiny driver-side merge — no full sort/shuffle."""
+# Fan-in of the second-level tree reduce: when the input is big enough to
+# have more than this many blocks, the ≤ n-rows-per-block reduced stream is
+# coalesced into this many blocks and re-pruned before the driver merge, so
+# the driver never pulls more than ~TREE_FANIN × n rows at once.
+TREE_FANIN = 32
+
+
+def smallest_n(ds, n: int, col: str = RANK_COL, tiebreak: str = "patch_id",
+               force_tree: bool | None = None) -> pa.Table:
+    """Global top-n smallest by (col, tiebreak) — no full sort/shuffle.
+
+    Three levels, each a prune (top-n is associative: top-n(top-n(A) ∪
+    top-n(B)) = top-n(A ∪ B)):
+    1. per-batch partial top-n (np.partition);
+    2. for many-block inputs, a tree reduce: coalesce the reduced stream to
+       TREE_FANIN blocks (plain repartition, no hash shuffle) and re-prune,
+       so level 3 sees ≤ TREE_FANIN × n rows however many input blocks
+       there were;
+    3. a bounded-buffer streaming merge on the driver (prune whenever the
+       buffer exceeds 4n rows) — driver memory stays O(n), never
+       O(n × blocks).
+    """
     if n <= 0:
         return None
 
@@ -64,9 +84,29 @@ def smallest_n(ds, n: int, col: str = RANK_COL, tiebreak: str = "patch_id") -> p
         return batch.take(pa.array(np.sort(idx)))
 
     reduced = ds.map_batches(_local_topn, batch_format="pyarrow", zero_copy_batch=True)
-    # The reduced stream holds ≤ n rows per input batch; merge on the driver.
-    tbl = reduced.to_pandas()
-    tbl = tbl.sort_values([col, tiebreak], kind="mergesort").head(n)
+
+    from ..stages.partitioning import estimated_size_bytes
+
+    est = estimated_size_bytes(ds)
+    target_block = ray.data.DataContext.get_current().target_max_block_size or (
+        128 * 1024 * 1024
+    )
+    tree = force_tree if force_tree is not None else (
+        est is not None and est // target_block > TREE_FANIN
+    )
+    if tree:
+        reduced = reduced.repartition(TREE_FANIN).map_batches(
+            _local_topn, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    buf: pd.DataFrame | None = None
+    for part in reduced.iter_batches(batch_format="pandas", batch_size=None):
+        buf = part if buf is None else pd.concat([buf, part], ignore_index=True)
+        if len(buf) > 4 * n:
+            buf = buf.sort_values([col, tiebreak], kind="mergesort").head(n)
+    if buf is None:
+        buf = reduced.limit(0).to_pandas()
+    tbl = buf.sort_values([col, tiebreak], kind="mergesort").head(n)
     return pa.Table.from_pandas(tbl.reset_index(drop=True), preserve_index=False)
 
 

@@ -31,9 +31,10 @@ class TripleSampler(Sampler):
         num_to_sample = (self.cf["target_total_num_patches"] - len(targetted)) // 2
         if num_to_sample < 0:
             warnings.warn(
-                f"Target dataset size of n={self.cf['target_total_num_patches']} patches "
-                "achieved via targetted sampling single-handedly. The sum of constraints "
-                "is above 100%."
+                f"Over-constrained config: the per-class minimum proportions add up "
+                f"past 1.0, so the targetted stage alone already returned more than "
+                f"the requested n={self.cf['target_total_num_patches']} patches; "
+                "skipping the diversity and spatial stages."
             )
             return targetted
 

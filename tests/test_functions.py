@@ -254,3 +254,36 @@ def test_ngram_jaccard_df_cap_drops_stop_grams_keeps_neardups():
     df = grams.groupby("gram").aggregate(Count(alias_name="df"))
     n_hot = df.filter(expr=f"df > {cap}").count()
     assert n_hot > 0
+
+
+def test_distributed_components_match_driver_union_find():
+    """Label propagation must equal the driver union-find labeling on a
+    random multi-component graph (and on a long chain, where convergence
+    needs multiple propagation rounds, not just the init round)."""
+    from pacasam_ray.functions.dedup import (
+        neardup_components,
+        neardup_components_distributed,
+    )
+
+    rng = np.random.default_rng(3)
+    # 15 random components + a 12-vertex chain (diameter stress)
+    edges = []
+    base = 0
+    for c in range(15):
+        size = int(rng.integers(2, 7))
+        verts = list(range(base, base + size))
+        for v in verts[1:]:
+            edges.append({"doc_a": int(rng.choice(verts[: verts.index(v)])),
+                          "doc_b": v})
+        base += size + 3
+    chain = list(range(1000, 1012))
+    edges += [{"doc_a": b, "doc_b": a} for a, b in zip(chain, chain[1:])]
+    rng.shuffle(edges)
+
+    pairs = ray.data.from_items(edges, override_num_blocks=6)
+    want = neardup_components(pairs)
+    got = neardup_components_distributed(pairs)
+    pd.testing.assert_frame_equal(got, want)
+    # transitivity on the chain: one component labeled by its min id
+    chain_lab = got[got.doc_id.isin(chain)]["component"].unique()
+    assert list(chain_lab) == [1000]

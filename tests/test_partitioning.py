@@ -58,3 +58,24 @@ def test_shuffle_result_invariant_to_partition_count():
 
     a, b = run(2), run(7)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_smallest_n_tree_reduce_matches_flat_on_many_blocks():
+    """The second-level tree reduce must be a pure optimization: identical
+    top-n on a 64-block input whether forced on or off, including rank
+    ties."""
+    import numpy as np
+
+    from pacasam_ray.samplers.algos import smallest_n
+
+    rows = [{"patch_id": i, "__r": int((i * 2654435761) % 997)} for i in range(5000)]
+    ds = ray.data.from_items(rows, override_num_blocks=64)
+    flat = smallest_n(ds, 100, col="__r", force_tree=False).to_pandas()
+    tree = smallest_n(ds, 100, col="__r", force_tree=True).to_pandas()
+    pd.testing.assert_frame_equal(
+        flat.reset_index(drop=True), tree.reset_index(drop=True)
+    )
+    assert len(flat) == 100
+    # deterministic: the result is the global (rank, id) bottom-100
+    allr = pd.DataFrame(rows).sort_values(["__r", "patch_id"]).head(100)
+    assert list(flat["patch_id"]) == list(allr["patch_id"])

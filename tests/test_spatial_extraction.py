@@ -118,3 +118,29 @@ def test_check_sampling_format_negative():
         check_sampling_format(
             pa.schema([("url", pa.string()), ("split", pa.int64()), ("html", pa.binary())])
         )
+
+
+def test_preflight_reports_truncated_missing_paths(tmp_path):
+    """S7: missing inputs fail fast with an informative truncated listing;
+    a fully-present input passes silently."""
+    from pacasam_ray.pipelines.extraction import check_all_files_exist
+
+    present = []
+    for i in range(3):
+        p = tmp_path / f"ok-{i}.bin"
+        p.write_bytes(b"x")
+        present.append(str(p))
+    missing = [str(tmp_path / f"gone-{i:02d}.bin") for i in range(15)]
+
+    ok_ds = ray.data.from_items([{"path": p} for p in present])
+    check_all_files_exist(ok_ds, "path")  # no raise
+
+    bad = ray.data.from_items(
+        [{"path": p} for p in present + missing], override_num_blocks=4
+    )
+    with pytest.raises(FileNotFoundError) as ei:
+        check_all_files_exist(bad, "path")
+    msg = str(ei.value)
+    assert "gone-" in msg and "..." in msg
+    assert msg.count("gone-") <= 10
+    assert "ok-0" not in msg
