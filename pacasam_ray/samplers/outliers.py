@@ -62,23 +62,44 @@ def kmeans_fit(arr: np.ndarray, n_clusters: int, n_iter: int = 10, salt: int = 4
     return centers, d.argmin(1)
 
 
+# Cap the |chunk| × |ref| distance-matrix scratch at ~64 MiB of float32 so
+# a task scoring a whole block never allocates rows × ref_size at once
+# (a 100k-row block × 4096 refs would be 1.6 GB per concurrent task).
+_KNN_SCRATCH_ELEMS = 16 * 1024 * 1024
+
+
 def _knn_dist(arr: np.ndarray, ref: np.ndarray, k: int) -> np.ndarray:
     """Distance from each row of ``arr`` to its k-th (0-based) nearest row
-    in ``ref`` — one |x|²−2x·refᵀ+|ref|² kernel, no Python loop. The 0-based
-    index makes the estimate self-exclusive for ref members (their d=0 self
-    match occupies slot 0)."""
-    d2 = (
-        (arr * arr).sum(1, keepdims=True)
-        - 2.0 * (arr @ ref.T)
-        + (ref * ref).sum(1)[None, :]
-    )
-    np.maximum(d2, 0.0, out=d2)
-    kth = np.partition(d2, k, axis=1)[:, k]
-    return np.sqrt(kth)
+    in ``ref`` — |x|²−2x·refᵀ+|ref|² kernels over bounded row chunks, no
+    per-row Python work. The 0-based index makes the estimate
+    self-exclusive for ref members (their d=0 self match occupies slot 0).
+
+    float32 throughout: the row-wise ``np.partition`` dominates this
+    kernel and is memory-bound, so halving element width nearly halves
+    wall time; the score is a heuristic ranking with no oracle twin, and
+    a float32 k-NN radius perturbs it far below the ranking's own
+    sample-of-the-density noise."""
+    a32 = np.ascontiguousarray(arr, dtype=np.float32)
+    r32 = np.ascontiguousarray(ref, dtype=np.float32)
+    rn = (r32 * r32).sum(1)
+    out = np.empty(len(arr), dtype=np.float32)
+    step = max(1, _KNN_SCRATCH_ELEMS // max(1, len(ref)))
+    for lo in range(0, len(arr), step):
+        a = a32[lo:lo + step]
+        d2 = (a * a).sum(1, keepdims=True) - 2.0 * (a @ r32.T) + rn[None, :]
+        np.maximum(d2, 0.0, out=d2)
+        out[lo:lo + step] = np.partition(d2, k, axis=1)[:, k]
+    return np.sqrt(out.astype(np.float64))
+
+
+# Calibration of per-cluster density peaks only needs a representative
+# subset of the fit sample — computing d_k for every one of 100k fit rows
+# costs more than the whole distributed scoring pass.
+_CALIBRATION_MAX_ROWS = 25_000
 
 
 def fit_outlier_model(arr: np.ndarray, n_clusters: int, knn_k: int = 16,
-                      ref_size: int = 4096, salt: int = 4242):
+                      ref_size: int = 512, salt: int = 4242):
     """Fit the broadcastable outlier model on the (standardized) fit sample:
     k-means centers for labels + a GLOSH-like density calibration.
 
@@ -87,14 +108,16 @@ def fit_outlier_model(arr: np.ndarray, n_clusters: int, knn_k: int = 16,
     peak (min k-NN distance over its fit-sample members)."""
     centers, labels = kmeans_fit(arr, n_clusters, salt=salt)
     n = len(arr)
-    ref_idx = np.argsort(rank_key(np.arange(n, dtype=np.int64), salt + 1),
-                         kind="stable")[: min(ref_size, n)]
-    ref = np.ascontiguousarray(arr[ref_idx], dtype=np.float64)
+    order = np.argsort(rank_key(np.arange(n, dtype=np.int64), salt + 1),
+                       kind="stable")
+    ref = np.ascontiguousarray(arr[order[: min(ref_size, n)]], dtype=np.float64)
     k = max(1, min(knn_k, len(ref) - 1))
-    dk = _knn_dist(arr.astype(np.float64), ref, k)
+    calib_idx = order[: min(_CALIBRATION_MAX_ROWS, n)]
+    dk = _knn_dist(arr[calib_idx].astype(np.float64), ref, k)
+    calib_labels = labels[calib_idx]
     eps = np.full(len(centers), max(np.min(dk), EPS_DIST))
     for c in range(len(centers)):
-        m = labels == c
+        m = calib_labels == c
         if m.any():
             eps[c] = max(dk[m].min(), EPS_DIST)
     return centers, ref, k, eps
@@ -129,8 +152,8 @@ class OutliersSampler(Sampler):
         cols = list(ocf["columns"])
         n_clusters = int(ocf.get("n_clusters", ocf.get("hdbscan_kwargs", {}).get("min_cluster_size", 8)))
         fit_sample_size = int(ocf.get("fit_sample_size", 100_000))
-        knn_k = int(ocf.get("knn_k", 16))
-        density_ref_size = int(ocf.get("density_ref_size", 4096))
+        knn_k = int(ocf.get("knn_k", 8))
+        density_ref_size = int(ocf.get("density_ref_size", 512))
 
         # The normalized projection feeds two scans (fit-sample + scoring);
         # both stream — no mid-pipeline materialization of the full dataset.
