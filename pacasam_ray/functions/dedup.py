@@ -438,10 +438,13 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, bands: int = 4,
 
     pairs = exploded.groupby(["band", "key"]).map_groups(_pairs, batch_format="pandas")
 
-    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # A pair colliding in k bands appears k times with identical hamming —
+    # dedup is a vectorized Min aggregate, not a per-group Python callback.
+    from ray.data.aggregate import Min
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(_dedup, batch_format="pandas")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
 
 
 def simhash_neardup_sql(table: str, max_hamming: int = 3,

@@ -196,3 +196,49 @@ class LangId:
                     best, best_score = lang, score
             preds.append(best)
         return batch.append_column(self.out_col, pa.array(preds, type=pa.string()))
+
+
+# --- PII-style scrubbing ----------------------------------------------------
+
+# (pattern, replacement) pairs applied IN ORDER. Patterns deliberately use
+# only syntax with identical semantics in Python `re` and DuckDB's RE2
+# (character classes, +, alternation — no lookaround, no backrefs), so the
+# DuckDB regexp_replace(..., 'g') oracle is bit-exact.
+SCRUB_RULES = [
+    (r"[A-Za-z0-9_.]+@[A-Za-z0-9_.]+", "<EMAIL>"),
+    (r"[0-9][0-9 -]{6,}[0-9]", "<PHONE>"),
+    (r"[0-9]+", "<NUM>"),
+]
+
+
+class TextScrubber:
+    """Actor-pool stage: regexes compiled once per actor in ``__init__``
+    (the stateful-stage shape); each batch is scrubbed with the compiled
+    rules applied in order. The fetch-heavy analog of this stage in the
+    reference is per-patch WMS colorization; here the per-row transform is
+    redaction of email/phone/number spans — the standard pre-training text
+    hygiene pass."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "text_scrubbed"):
+        import re
+
+        self.rules = [(re.compile(p), r) for p, r in SCRUB_RULES]
+        self.text_col, self.out_col = text_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        out = []
+        for t in texts:
+            for rx, repl in self.rules:
+                t = rx.sub(repl, t)
+            out.append(t)
+        return batch.append_column(self.out_col, pa.array(out, type=pa.string()))
+
+
+def text_scrub_sql(table: str = "documents", text_col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    expr = text_col
+    for pat, repl in SCRUB_RULES:
+        sq = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sq}', '{repl}', 'g')"
+    return f"SELECT {id_col}, {expr} AS text_scrubbed FROM {table}"

@@ -1105,6 +1105,18 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+def q_text_scrub(sf_dir: str):
+    """PII-style redaction (emails → <EMAIL>, phone-like digit runs →
+    <PHONE>, numbers → <NUM>): actor-pool stage with regexes compiled once
+    per actor; rules restricted to re/RE2-identical syntax so the DuckDB
+    regexp_replace oracle is bit-exact."""
+    from .functions.text import TextScrubber
+
+    return _docs(sf_dir).map_batches(
+        TextScrubber, batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "text_scrubbed"])
+
+
 def q_lang_id(sf_dir: str):
     """Language-ID heuristic (actor pool; profiles compiled per actor).
     Rows-only: the n-gram scoring heuristic is not SQL-expressible."""
@@ -1198,6 +1210,38 @@ def q_simhash_neardup(sf_dir: str):
     return out.map_batches(
         lambda df: df[["doc_a", "doc_b", "hamming"]], batch_format="pandas"
     )
+
+
+def q_neardup_components(sf_dir: str):
+    """Connected components over the simhash near-dup graph, computed by
+    the distributed min-label-propagation path (iterated hash shuffles, no
+    driver graph state). Oracle: DuckDB recursive CTE transitive closure —
+    component = min doc id reachable, exactly the propagation fixpoint."""
+    from .functions.dedup import (
+        neardup_components_distributed,
+        simhash_neardup_pairs,
+    )
+
+    pairs = simhash_neardup_pairs(_docs(sf_dir), max_hamming=HAMMING_D)
+    return neardup_components_distributed(pairs)
+
+
+def _sql_neardup_components() -> str:
+    from .functions.dedup import simhash_neardup_sql
+
+    pairs_sql = simhash_neardup_sql("documents", max_hamming=HAMMING_D)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (SELECT doc_a AS v, doc_b AS u FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(v, u) AS (
+  SELECT v, u FROM edges
+  UNION
+  SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v
+)
+SELECT v AS doc_id, LEAST(v, MIN(u)) AS component
+FROM reach GROUP BY v ORDER BY doc_id
+"""
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -1420,6 +1464,8 @@ def build_queries() -> dict:
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
+        "neardup_components": q_neardup_components,
+        "text_scrub": q_text_scrub,
         "minhash_lsh": q_minhash_lsh,
         "minhash_dedup": q_minhash_dedup,
         "ann_topk": q_ann_topk,
@@ -1481,6 +1527,8 @@ def build_oracle_sql() -> dict:
         "ngram_jaccard_capped": _sql_ngram_jaccard(max_doc_freq=NGRAM_DF_CAP),
         "simhash": _sql_simhash(),
         "simhash_neardup": _sql_simhash_neardup(),
+        "neardup_components": _sql_neardup_components(),
+        "text_scrub": _sql_text_scrub(),
         "ann_topk": _sql_ann_topk(),
         "embed_neardup": _sql_embed_neardup(),
         "media_meta": _sql_media_meta(),
@@ -1517,6 +1565,12 @@ def _sql_simhash_neardup() -> str:
     from .functions.dedup import simhash_neardup_sql
 
     return simhash_neardup_sql("documents", max_hamming=HAMMING_D)
+
+
+def _sql_text_scrub() -> str:
+    from .functions.text import text_scrub_sql
+
+    return text_scrub_sql("documents")
 
 
 def _sql_ann_topk() -> str:
