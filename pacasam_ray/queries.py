@@ -1163,6 +1163,97 @@ SELECT doc_id, text, md5(text) AS content_key FROM both_
 QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 """
 
+def q_url_dedup(sf_dir: str):
+    """URL-normalization dedup (the first dedup pass of every web crawl):
+    plant one variant per page (uppercased + tracking query param +
+    trailing slash), normalize with Arrow RE2 kernels (lowercase, strip
+    query string, strip trailing slash), hash-shuffle dedup on the
+    normalized key keeping the min doc_id. Originals win; output is one
+    row per distinct normalized url."""
+    pages = pages_from_documents(sf_dir)
+    base = pages.map_batches(
+        lambda t: t.select(["doc_id", "url"]), batch_format="pyarrow"
+    )
+
+    def _variant(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.add(t["doc_id"], DUP_OFFSET),
+            "url": pc.binary_join_element_wise(
+                pc.utf8_upper(t["url"]), "/?utm_source=feed", ""
+            ),
+        })
+
+    both = base.union(base.map_batches(_variant, batch_format="pyarrow"))
+
+    def _normalize(t: pa.Table) -> pa.Table:
+        u = pc.utf8_lower(t["url"])
+        u = pc.replace_substring_regex(u, r"\?.*", "")
+        u = pc.replace_substring_regex(u, r"/$", "")
+        return pa.table({"doc_id": t["doc_id"], "url_norm": u})
+
+    return dedup_exact_prehashed(
+        both.map_batches(_normalize, batch_format="pyarrow"), "url_norm", "doc_id"
+    )
+
+
+SQL_URL_DEDUP_RAW = (
+    "'https://site' || CAST(doc_id % 20 AS VARCHAR) || '/p/' || "
+    "lpad(CAST(doc_id AS VARCHAR), 9, '0')"
+)
+SQL_URL_DEDUP = f"""
+WITH both_ AS (
+  SELECT doc_id, {SQL_URL_DEDUP_RAW} AS url FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, UPPER({SQL_URL_DEDUP_RAW}) || '/?utm_source=feed'
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(lower(url), '\\?.*', ''), '/$', '') AS url_norm
+FROM both_
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY regexp_replace(regexp_replace(lower(url), '\\?.*', ''), '/$', '')
+  ORDER BY doc_id) = 1
+"""
+
+
+def q_top_terms(sf_dir: str):
+    """Global top-k terms: per-batch token explode + local counts (the
+    combiner — the shuffle moves one row per distinct term per block, never
+    one per token), Sum-aggregate groupby, per-block partial top-k, tiny
+    driver merge."""
+    from ray.data.aggregate import Sum
+
+    def _local_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        vc = pa.TableGroupBy(pa.table({"term": toks}), "term").aggregate(
+            [([], "count_all")]
+        )
+        return vc.rename_columns(["term", "n"])
+
+    counts = _docs(sf_dir).map_batches(_local_counts, batch_format="pyarrow")
+    total = counts.groupby("term").aggregate(Sum("n", alias_name="n"))
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= TOP_TERMS_K:
+            return t
+        return t.sort_by([("n", "descending"), ("term", "ascending")]) \
+                .slice(0, TOP_TERMS_K)
+
+    parts = total.map_batches(_local_topk, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["n", "term"], ascending=[False, True],
+                            kind="mergesort").head(TOP_TERMS_K)
+    return out.reset_index(drop=True).astype({"n": "int64"})
+
+
+TOP_TERMS_K = 20
+
+SQL_TOP_TERMS = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+SELECT term, COUNT(*) AS n FROM toks
+GROUP BY term ORDER BY n DESC, term LIMIT {TOP_TERMS_K}
+"""
+
+
 JACCARD_TAU = 0.5
 HAMMING_D = 3
 
@@ -1466,6 +1557,8 @@ def build_queries() -> dict:
         "simhash_neardup": q_simhash_neardup,
         "neardup_components": q_neardup_components,
         "text_scrub": q_text_scrub,
+        "url_dedup": q_url_dedup,
+        "top_terms": q_top_terms,
         "minhash_lsh": q_minhash_lsh,
         "minhash_dedup": q_minhash_dedup,
         "ann_topk": q_ann_topk,
@@ -1529,6 +1622,8 @@ def build_oracle_sql() -> dict:
         "simhash_neardup": _sql_simhash_neardup(),
         "neardup_components": _sql_neardup_components(),
         "text_scrub": _sql_text_scrub(),
+        "url_dedup": SQL_URL_DEDUP,
+        "top_terms": SQL_TOP_TERMS,
         "ann_topk": _sql_ann_topk(),
         "embed_neardup": _sql_embed_neardup(),
         "media_meta": _sql_media_meta(),
