@@ -91,7 +91,9 @@ def check_all_files_exist(ds, path_col: str, max_report: int = 10) -> None:
         )
 
 
-def _shard_of(file_ids: pd.Series, num_shards: int) -> np.ndarray:
+def _shard_of(file_ids: pd.Series, num_shards: int,
+              patch_ids: np.ndarray | None = None,
+              slab_salt: int = 1) -> np.ndarray:
     # hash the slab key string deterministically (python hash is salted; use
     # a stable fold over bytes)
     def fold(s: str) -> int:
@@ -101,6 +103,14 @@ def _shard_of(file_ids: pd.Series, num_shards: int) -> np.ndarray:
         return acc
 
     folded = file_ids.map(fold).to_numpy(dtype=np.int64)
+    if slab_salt > 1 and patch_ids is not None:
+        # Hot-slab salting: spread each slab across up to ``slab_salt``
+        # shards (deterministic in patch_id), so one giant slab cannot pin
+        # a whole partition's work on one reducer. Costs up to slab_salt×
+        # more output files per slab — use when slab sizes are skewed.
+        folded = folded * np.int64(slab_salt) + (
+            patch_ids.astype(np.int64) % slab_salt
+        )
     return hmix(folded, 97) % num_shards
 
 
@@ -114,10 +124,13 @@ def list_completed(dataset_root: str | Path) -> set[tuple[str, int]]:
     return done
 
 
-def run_extraction(sampling_ds, dataset_root: str | Path, num_shards: int = 16) -> dict:
+def run_extraction(sampling_ds, dataset_root: str | Path, num_shards: int = 16,
+                   slab_salt: int = 1) -> dict:
     """Extract all pending partitions. Returns a summary dict.
 
     ``sampling_ds``: Dataset with at least (url, split, html, file_id).
+    ``slab_salt`` > 1 spreads each slab over up to that many shards
+    (see ``_shard_of``) — set it when slab sizes are heavily skewed.
     """
     root = Path(dataset_root)
     (root / "_manifest").mkdir(parents=True, exist_ok=True)
@@ -126,7 +139,12 @@ def run_extraction(sampling_ds, dataset_root: str | Path, num_shards: int = 16) 
     done = list_completed(root)
 
     def _add_shard(batch: pa.Table) -> pa.Table:
-        shard = _shard_of(pd.Series(np.asarray(batch["file_id"]).astype(object)), num_shards)
+        pids = (batch["patch_id"].to_numpy(zero_copy_only=False)
+                if "patch_id" in batch.column_names else None)
+        shard = _shard_of(
+            pd.Series(np.asarray(batch["file_id"]).astype(object)), num_shards,
+            patch_ids=pids, slab_salt=slab_salt,
+        )
         return batch.append_column("__shard", pa.array(shard))
 
     sharded = sampling_ds.map_batches(_add_shard, batch_format="pyarrow", zero_copy_batch=True)

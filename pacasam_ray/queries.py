@@ -1350,27 +1350,44 @@ def q_minhash_dedup(sf_dir: str):
         neardup_components_distributed,
         neardup_keep,
     )
+    from .stages.partitioning import pick_partitions
 
     docs = _docs_with_dups(sf_dir)
-    pairs_df = minhash_lsh_pairs(docs, tau=0.9).to_pandas()  # candidates ≪ corpus
+    # Candidate pairs ≪ corpus; they feed two consumers (id set + verify
+    # join), so checkpoint once.
+    pairs = minhash_lsh_pairs(docs, tau=0.9).materialize()
 
-    # verify map restricted to ids appearing in a candidate pair — the only
-    # texts that need hashing; O(candidates), never O(corpus).
-    pair_ids = pa.array(np.union1d(pairs_df["doc_a"].to_numpy(),
-                                   pairs_df["doc_b"].to_numpy()))
+    # Only ids touched by a candidate pair need their text hashed — collect
+    # the DISTINCT id set (ids only, never texts) and broadcast it into the
+    # fingerprint stage: O(candidates) hashing, never O(corpus).
+    idp = pairs.map_batches(
+        lambda df: pd.DataFrame({"doc_id": np.unique(np.concatenate(
+            [df["doc_a"].to_numpy(), df["doc_b"].to_numpy()]))}),
+        batch_format="pandas",
+    ).to_pandas()
+    pair_ids = pa.array(np.unique(idp["doc_id"].to_numpy()))
 
     def _fp_map(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t["doc_id"], value_set=pair_ids))
         fps = pa.array([hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()])
         return pa.table({"doc_id": t["doc_id"], "fp": fps})
 
-    fp = docs.map_batches(_fp_map, batch_format="pyarrow").to_pandas()
-    m = dict(zip(fp["doc_id"], fp["fp"]))
-    verified = pairs_df[
-        pairs_df["doc_a"].map(m).to_numpy() == pairs_df["doc_b"].map(m).to_numpy()
-    ]
-    verified = ray.data.from_pandas(verified) if len(verified) else ray.data.from_items(
-        [], override_num_blocks=1
+    # Exact verification as a distributed hash join (pairs ⋈ fp on each
+    # side), not a driver-side dict probe — candidate sets with billions of
+    # pairs never land on one machine.
+    fp = docs.map_batches(_fp_map, batch_format="pyarrow")
+    nparts = pick_partitions(pairs, fp)
+    fa = fp.map_batches(lambda t: t.rename_columns(["ida", "fp_a"]),
+                        batch_format="pyarrow")
+    fb = fp.map_batches(lambda t: t.rename_columns(["idb", "fp_b"]),
+                        batch_format="pyarrow")
+    verified = pairs.join(
+        fa, join_type="inner", num_partitions=nparts, on=("doc_a",), right_on=("ida",)
+    ).join(
+        fb, join_type="inner", num_partitions=nparts, on=("doc_b",), right_on=("idb",)
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["fp_a"], t["fp_b"])).select(["doc_a", "doc_b"]),
+        batch_format="pyarrow",
     )
     comps = neardup_components_distributed(verified)
     return neardup_keep(docs.select_columns(["doc_id"]), comps)

@@ -39,6 +39,9 @@ def make_parser() -> argparse.ArgumentParser:
                    choices=["TextExtractor"])
     p.add_argument("--num_shards", type=int, default=16,
                    help="output partitions (per-shard atomic parquet + manifest)")
+    p.add_argument("--slab_salt", type=int, default=1,
+                   help="spread each slab over up to this many shards "
+                        "(use >1 when slab sizes are heavily skewed)")
     return p
 
 
@@ -55,7 +58,8 @@ def run(args: argparse.Namespace) -> dict:
     # must not let the resume filter's binary_join drop those rows).
     selection = selection.assign(split=selection["split"].fillna("train"))
     sampling_ds = attach_pages(selection, args.pages_dir)
-    summary = run_extraction(sampling_ds, args.dataset_root_path, num_shards=args.num_shards)
+    summary = run_extraction(sampling_ds, args.dataset_root_path,
+                             num_shards=args.num_shards, slab_salt=args.slab_salt)
     log.info("extraction summary: %s", summary)
     return summary
 

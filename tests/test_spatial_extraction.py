@@ -144,3 +144,35 @@ def test_preflight_reports_truncated_missing_paths(tmp_path):
     assert "gone-" in msg and "..." in msg
     assert msg.count("gone-") <= 10
     assert "ok-0" not in msg
+
+
+def test_slab_salting_spreads_hot_slab_and_preserves_roundtrip(tmp_path, duck):
+    """A skewed input (every row in ONE slab) pins all work on one shard by
+    default; slab_salt spreads it across shards deterministically without
+    breaking the byte-identity invariant or the manifest layout."""
+    pages = pages_from_documents(SF_DIR)
+
+    def _one_slab(t: pa.Table) -> pa.Table:
+        t = add_catalogue_columns(t)
+        n = t.num_rows
+        return pa.table({
+            "url": t["url"], "html": t["html"],
+            "doc_id": t["doc_id"], "patch_id": t["doc_id"],
+            "file_id": pa.array(["hot-slab"] * n),
+            "split": pa.array(["train"] * n),
+        })
+
+    ds = pages.map_batches(_one_slab, batch_format="pyarrow")
+
+    flat_root = tmp_path / "flat"
+    s1 = run_extraction(ds, flat_root, num_shards=8, slab_salt=1)
+    assert s1["partitions_written"] == 1  # the skew: one giant partition
+
+    salted_root = tmp_path / "salted"
+    s4 = run_extraction(ds, salted_root, num_shards=8, slab_salt=4)
+    assert s4["partitions_written"] > 1
+    assert s4["rows_written"] == s1["rows_written"]
+
+    out = read_extracted(salted_root).sort_values("patch_id").reset_index(drop=True)
+    src = duck.sql("SELECT doc_id, text FROM documents ORDER BY doc_id").df()
+    assert list(out["text"]) == list(src["text"])
