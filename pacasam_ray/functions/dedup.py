@@ -256,22 +256,34 @@ class MinHashSignatures:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        out_id, out_band, out_bucket, out_sig = [], [], [], []
-        for did, txt in zip(ids, batch[self.text_col].to_pylist()):
-            sig = self.signature(txt)
-            for b in range(self.bands):
-                band = sig[b * self.rows : (b + 1) * self.rows]
-                bucket = md5_int(f"{b}:" + ",".join(map(str, band.tolist())))
-                out_id.append(did)
-                out_band.append(b)
-                out_bucket.append(bucket)
-                out_sig.append(sig)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(ids)
+        # (n_docs, num_perm) signature matrix — the per-doc minhash is the
+        # only per-row Python work (gram hashing, memoised per actor).
+        S = np.empty((n_docs, self.num_perm), dtype=np.int64)
+        for i, txt in enumerate(batch[self.text_col].to_pylist()):
+            S[i] = self.signature(txt)
+        # Bucket key per (doc, band): polynomial fold of the band's rows in
+        # int64 wraparound arithmetic — vectorized over the whole batch.
+        # Bucket keys only route grouping (rows-only op, no SQL twin); a
+        # fold collision merely adds a candidate pair that the est >= tau
+        # filter then rejects.
+        B = S.reshape(n_docs, self.bands, self.rows)
+        with np.errstate(over="ignore"):
+            buckets = np.full((n_docs, self.bands), np.int64(1469598103934665603))
+            for r in range(self.rows):
+                buckets = buckets * np.int64(1099511628211) + B[:, :, r]
+            buckets = buckets * np.int64(1099511628211) + np.arange(
+                self.bands, dtype=np.int64
+            )[None, :]
+        values = np.repeat(S, self.bands, axis=0).ravel()
+        offsets = np.arange(n_docs * self.bands + 1, dtype=np.int32) * self.num_perm
+        sig_col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(values))
         return pa.table({
-            self.id_col: pa.array(out_id, pa.int64()),
-            "band": pa.array(out_band, pa.int64()),
-            "bucket": pa.array(out_bucket, pa.int64()),
-            "sig": pa.array([s.tolist() for s in out_sig], pa.list_(pa.int64())),
+            self.id_col: pa.array(np.repeat(ids, self.bands)),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int64), n_docs)),
+            "bucket": pa.array(buckets.ravel()),
+            "sig": sig_col,
         })
 
 
@@ -290,13 +302,42 @@ def minhash_lsh_pairs(ds, num_perm: int = 128, bands: int = 32, n: int = 3,
     candidates. Rows-only correctness check (seeded, not SQL-expressible);
     pytest cross-checks recall against the exact join at small scale.
     """
+    import ray as _ray
+    from ray.data.aggregate import Count, Min
+
     sigs = ds.map_batches(
         MinHashSignatures,
         batch_format="pyarrow",
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, n=n, seed=seed,
                                    text_col=text_col, id_col=id_col),
         concurrency=concurrency,
-    )
+    ).materialize()  # feeds the bucket-count prefilter AND the pair stage
+
+    # Nearly every bucket is a singleton (one doc); a per-group Python
+    # callback over all of them costs ~1 ms each and dominated wall time.
+    # One vectorized Count aggregate finds the >= 2-member buckets; their
+    # keys broadcast into a per-batch is_in filter, so map_groups only ever
+    # sees genuine collision buckets.
+    counts = sigs.groupby(["band", "bucket"]).aggregate(Count(alias_name="c"))
+    hot = counts.filter(expr="c >= 2").select_columns(["band", "bucket"]).to_pandas()
+    if not len(hot):
+        return _ray.data.from_pandas(pd.DataFrame({
+            "doc_a": pd.Series([], dtype=np.int64),
+            "doc_b": pd.Series([], dtype=np.int64),
+            "est_jaccard": pd.Series([], dtype=np.float64),
+        }))
+    with np.errstate(over="ignore"):
+        hot_keys = (hot["bucket"].to_numpy(np.int64) * np.int64(37)
+                    + hot["band"].to_numpy(np.int64))
+    keys_ref = _ray.put(pa.array(hot_keys))
+
+    def _keep_collisions(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            k = (t["bucket"].to_numpy(zero_copy_only=False) * np.int64(37)
+                 + t["band"].to_numpy(zero_copy_only=False))
+        return t.filter(pc.is_in(pa.array(k), value_set=_ray.get(keys_ref)))
+
+    cand = sigs.map_batches(_keep_collisions, batch_format="pyarrow")
 
     def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -308,16 +349,15 @@ def minhash_lsh_pairs(ds, num_perm: int = 128, bands: int = 32, n: int = 3,
         sig = np.stack(g["sig"].to_numpy())
         ia, ib = np.triu_indices(len(ids), 1)
         est = (sig[ia] == sig[ib]).mean(axis=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib], "est_jaccard": est})
+        keep = est >= tau
+        return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
+                             "est_jaccard": est[keep]})
 
-    pairs = sigs.groupby(["band", "bucket"]).map_groups(_bucket_pairs, batch_format="pandas")
-
-    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    uniq = pairs.groupby(["doc_a", "doc_b"]).map_groups(_dedup, batch_format="pandas")
-    return uniq.map_batches(
-        lambda df: df[df["est_jaccard"] >= tau], batch_format="pandas"
+    pairs = cand.groupby(["band", "bucket"]).map_groups(_bucket_pairs, batch_format="pandas")
+    # A pair colliding in k bands appears k times with an identical est —
+    # dedup is a vectorized Min aggregate, not a per-group head(1).
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("est_jaccard", alias_name="est_jaccard")
     )
 
 
