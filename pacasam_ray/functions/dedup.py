@@ -632,3 +632,89 @@ def neardup_keep(ds, components: pd.DataFrame, id_col: str = "doc_id"):
         return t.filter(pc.invert(pc.is_in(t[id_col], value_set=ray.get(drop_ref))))
 
     return ds.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (engine addition)
+# ---------------------------------------------------------------------------
+# Cardinality estimation without a count-distinct shuffle: each batch folds
+# its values into m max-registers (a combiner — 2 int64 columns leave each
+# block regardless of row count), registers merge with one tiny Max groupby,
+# and the estimate is computed from exact integers through ONE IEEE division,
+# so a generated DuckDB oracle reproduces it bit-for-bit:
+#   v = md5_int(value) (60 bits), j = v mod m, rest = v div m,
+#   rho = 1 + leading-zeros of rest within its 60-log2(m) bits,
+#   S = Σ_j 2^(B - M_j) as an exact int64 (B = register bit width),
+#   E = alpha·m² · 2^B / S  →  one double division of two exact values.
+# No linear-counting branch (it needs ln()): pick m small enough that the
+# raw estimate regime applies (E > 2.5 m) for the expected cardinalities.
+
+HLL_M = 64                # 6-bit register index
+HLL_REST_BITS = MD5_HEX * 4 - 6   # 54 value bits feed rho ∈ [1, 55]
+HLL_ALPHA = 0.709         # alpha_64 (Flajolet et al. 2007)
+
+
+def hll_registers(values: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """m max-registers for one batch of string values (vectorized except
+    the md5 per value, which is the portability contract)."""
+    v = np.array([md5_int(x) for x in values.to_pylist()], dtype=np.int64)
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    if not len(v):
+        return regs
+    j = v % HLL_M
+    rest = v // HLL_M
+    # rho = (REST_BITS + 1) - bit_length(rest); bit_length via log-free
+    # integer compare against descending powers of two, vectorized.
+    bl = np.zeros(len(v), dtype=np.int64)
+    x = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.int64(1) << shift)
+        bl[big] += shift
+        x[big] >>= shift
+    bl[rest > 0] += 1
+    rho = (HLL_REST_BITS + 1) - bl
+    np.maximum.at(regs, j, rho)
+    return regs
+
+
+def distinct_hll(ds, col: str = "text") -> pd.DataFrame:
+    """Returns a one-row frame {distinct_est: double}. Deterministic: the
+    estimate is a pure function of the md5 register values."""
+    def _partial(t: pa.Table) -> pa.Table:
+        regs = hll_registers(t[col])
+        return pa.table({"j": np.arange(HLL_M, dtype=np.int64), "m": regs})
+
+    from ray.data.aggregate import Max
+
+    merged = ds.map_batches(_partial, batch_format="pyarrow") \
+               .groupby("j").aggregate(Max("m", alias_name="m")).to_pandas()
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    regs[merged["j"].to_numpy()] = merged["m"].to_numpy()
+    # exact integer S = Σ 2^(B - M_j); M_j = 0 (empty register) contributes
+    # 2^B — still exact (B ≤ 55, sum ≤ m·2^55 < 2^63)
+    s = int(np.sum(np.int64(1) << (HLL_REST_BITS + 1 - regs)))
+    alpha_num = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_REST_BITS + 1))
+    return pd.DataFrame({"distinct_est": [alpha_num / float(s)]})
+
+
+def distinct_hll_sql(table: str, col: str = "text") -> str:
+    v = md5_int_sql(col)
+    b = HLL_REST_BITS
+    rho_cases = " ".join(
+        f"WHEN rest >= {1 << (b - k)} THEN {k}" for k in range(1, b + 1)
+    )
+    alpha_num = HLL_ALPHA * HLL_M * HLL_M * float(1 << (b + 1))
+    return f"""
+WITH h AS (SELECT {v} AS v FROM {table}),
+jr AS (SELECT v % {HLL_M} AS j, v // {HLL_M} AS rest FROM h),
+rho AS (SELECT j, CASE {rho_cases} ELSE {b + 1} END AS r FROM jr),
+regs AS (SELECT j, MAX(r) AS m FROM rho GROUP BY j),
+full_regs AS (
+  SELECT t.j, COALESCE(regs.m, 0) AS m
+  FROM (SELECT unnest(generate_series(0, {HLL_M - 1})) AS j) t
+  LEFT JOIN regs ON t.j = regs.j
+)
+SELECT {alpha_num!r} / CAST(SUM(CAST(1 AS BIGINT) << ({b + 1} - m)) AS DOUBLE)
+       AS distinct_est
+FROM full_regs
+"""

@@ -1163,6 +1163,42 @@ SELECT doc_id, text, md5(text) AS content_key FROM both_
 QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 """
 
+GROUPED_TOPK_K = 3
+
+
+def q_grouped_topk(sf_dir: str):
+    """Per-group top-k (QUALIFY ROW_NUMBER <= k): top 3 events by value per
+    event_type — per-batch combiner prunes to k rows/group/block before the
+    shuffle."""
+    from .stages.topk import grouped_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = grouped_topk(ds, ["event_type"], "value", GROUPED_TOPK_K,
+                       descending=True, tiebreak=["event_id"])
+    return out.map_batches(
+        lambda df: df[["event_type", "event_id", "value"]], batch_format="pandas"
+    )
+
+
+SQL_GROUPED_TOPK = f"""
+SELECT event_type, event_id, value FROM events
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY event_type ORDER BY value DESC, event_id) <= {GROUPED_TOPK_K}
+"""
+
+
+def q_distinct_hll(sf_dir: str):
+    """HyperLogLog distinct-count sketch over text: per-batch max-registers
+    (2 small int columns leave each block, never the values), one tiny Max
+    groupby merge, estimate from exact integers through ONE IEEE division —
+    so the DuckDB oracle reproduces the estimate bit-for-bit."""
+    from .functions.dedup import distinct_hll
+
+    return distinct_hll(_docs_with_dups(sf_dir), col="text")
+
+
 def q_url_dedup(sf_dir: str):
     """URL-normalization dedup (the first dedup pass of every web crawl):
     plant one variant per page (uppercased + tracking query param +
@@ -1576,6 +1612,8 @@ def build_queries() -> dict:
         "text_scrub": q_text_scrub,
         "url_dedup": q_url_dedup,
         "top_terms": q_top_terms,
+        "distinct_hll": q_distinct_hll,
+        "grouped_topk": q_grouped_topk,
         "minhash_lsh": q_minhash_lsh,
         "minhash_dedup": q_minhash_dedup,
         "ann_topk": q_ann_topk,
@@ -1641,6 +1679,8 @@ def build_oracle_sql() -> dict:
         "text_scrub": _sql_text_scrub(),
         "url_dedup": SQL_URL_DEDUP,
         "top_terms": SQL_TOP_TERMS,
+        "distinct_hll": _sql_distinct_hll(),
+        "grouped_topk": SQL_GROUPED_TOPK,
         "ann_topk": _sql_ann_topk(),
         "embed_neardup": _sql_embed_neardup(),
         "media_meta": _sql_media_meta(),
@@ -1683,6 +1723,15 @@ def _sql_text_scrub() -> str:
     from .functions.text import text_scrub_sql
 
     return text_scrub_sql("documents")
+
+
+def _sql_distinct_hll() -> str:
+    from .functions.dedup import distinct_hll_sql
+
+    return distinct_hll_sql(
+        f"(SELECT text FROM documents UNION ALL "
+        f"SELECT text FROM documents) both_"
+    )
 
 
 def _sql_ann_topk() -> str:

@@ -287,3 +287,16 @@ def test_distributed_components_match_driver_union_find():
     # transitivity on the chain: one component labeled by its min id
     chain_lab = got[got.doc_id.isin(chain)]["component"].unique()
     assert list(chain_lab) == [1000]
+
+
+def test_hll_error_bound_and_merge_invariance():
+    """HLL estimate within the m=64 error regime on a 20k-cardinality
+    input, and invariant to how rows are split across blocks (register
+    merge is a max — associative and commutative)."""
+    from pacasam_ray.functions.dedup import distinct_hll
+
+    rows = [{"text": f"document body number {i} padding words"} for i in range(20_000)]
+    est1 = distinct_hll(ray.data.from_items(rows, override_num_blocks=3))["distinct_est"][0]
+    est2 = distinct_hll(ray.data.from_items(rows, override_num_blocks=17))["distinct_est"][0]
+    assert est1 == est2  # partition invariance, bit-exact
+    assert abs(est1 - 20_000) / 20_000 < 0.35  # ~2.7 sigma at m=64
