@@ -918,6 +918,63 @@ SELECT event_type, epoch_us(ts) // {WINDOW_US} AS win, COUNT(*) AS n_events,
 FROM events GROUP BY 1, 2
 """
 
+HOP_US = WINDOW_US // 4  # 15-min hop → every event lands in 4 windows
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping (sliding) 1-hour window with a 15-min hop: each event is
+    replicated into its 4 covering windows IN THE COMBINER (one vectorized
+    np.repeat per batch), pre-aggregated per (type, window) per block, then
+    one Sum/Min/Max shuffle — the exchange moves partial aggregates, never
+    the 4× replicated events."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    reps = WINDOW_US // HOP_US
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        base = us // HOP_US
+        k = np.tile(np.arange(reps, dtype=np.int64), len(base))
+        df = pd.DataFrame({
+            "event_type": np.repeat(np.asarray(t["event_type"]), reps),
+            "win": np.repeat(base, reps) - k,
+            "value": np.repeat(t["value"].to_numpy(zero_copy_only=False), reps),
+        })
+        g = df.groupby(["event_type", "win"], sort=False).agg(
+            n_events=("value", "size"),
+            min_value=("value", "min"),
+            max_value=("value", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "win"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value"),
+        )
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_events"), "n_events",
+            pc.cast(t["n_events"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_HOPPING = f"""
+SELECT event_type, (epoch_us(ts) // {HOP_US} - t.k) AS win, COUNT(*) AS n_events,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events, UNNEST(generate_series(0, {WINDOW_US // HOP_US - 1})) AS t(k)
+GROUP BY 1, 2
+"""
+
 
 def q_asof_join(sf_dir: str):
     """J4 generalized: backward inner as-of join — each click matched to the
@@ -1162,6 +1219,19 @@ WITH both_ AS (
 SELECT doc_id, text, md5(text) AS content_key FROM both_
 QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 """
+
+def q_weighted_sample(sf_dir: str):
+    """Efraimidis–Spirakis weighted sample (inclusion ∝ n_chars): rows-only
+    (−ln is not bit-portable to SQL); pytest asserts determinism,
+    partition-invariance, zero-weight exclusion and stratified
+    proportionality."""
+    from .samplers.algos import sample_weighted
+
+    ds = _docs(sf_dir, cols=("doc_id", "n_chars"))
+    out = sample_weighted(ds, RANDOM_N, salt=77, weight_col="n_chars",
+                          key="doc_id")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
 
 GROUPED_TOPK_K = 3
 
@@ -1588,6 +1658,7 @@ def build_queries() -> dict:
         "tpch_q14": q_tpch_q14,
         "json_extract": q_json_extract,
         "events_window": q_events_window,
+        "events_hopping": q_events_hopping,
         "events_sessions": q_events_sessions,
         "asof_join": q_asof_join,
         "global_positions": q_global_positions,
@@ -1614,6 +1685,7 @@ def build_queries() -> dict:
         "top_terms": q_top_terms,
         "distinct_hll": q_distinct_hll,
         "grouped_topk": q_grouped_topk,
+        "weighted_sample": q_weighted_sample,
         "minhash_lsh": q_minhash_lsh,
         "minhash_dedup": q_minhash_dedup,
         "ann_topk": q_ann_topk,
@@ -1655,6 +1727,7 @@ def build_oracle_sql() -> dict:
         "tpch_q14": SQL_TPCH_Q14,
         "json_extract": SQL_JSON_EXTRACT,
         "events_window": SQL_EVENTS_WINDOW,
+        "events_hopping": SQL_EVENTS_HOPPING,
         "asof_join": SQL_ASOF_JOIN,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "global_positions": SQL_GLOBAL_POSITIONS,

@@ -120,6 +120,38 @@ def sample_randomly(ds, n: int, salt: int, columns: list[str] | None = None) -> 
     return tbl.drop_columns(RANK_COL).to_pandas()
 
 
+def sample_weighted(ds, n: int, salt: int, weight_col: str,
+                    key: str = "patch_id",
+                    columns: list[str] | None = None) -> pd.DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    each row draws a deterministic uniform u ∈ (0,1] from its hash rank and
+    competes with key = −ln(u)/w — the n smallest keys are exactly an
+    n-sample with inclusion probability ∝ weight. Deterministic and
+    partition-invariant (u is a pure function of (row key, salt); −ln and
+    the division are the same IEEE ops on every worker). Rows with
+    weight ≤ 0 can never be selected.
+
+    The engine analog of quality-weighted corpus subsampling (sample 10%
+    of a crawl, favoring high-quality documents) — the weighted twin of
+    :func:`sample_randomly`.
+    """
+    TWO53 = float(1 << 53)
+
+    def _key(batch: pa.Table) -> pa.Table:
+        t = batch.select(columns) if columns else batch
+        r = rank_key(t[key].to_numpy(zero_copy_only=False), salt)
+        u = ((r.astype(np.uint64) >> np.uint64(11)).astype(np.float64) + 1.0) / TWO53
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        es = np.where(w > 0, -np.log(u) / np.maximum(w, 1e-300), np.inf)
+        return t.append_column(RANK_COL, pa.array(es))
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = smallest_n(keyed, n, col=RANK_COL, tiebreak=key)
+    if tbl is None:
+        return pd.DataFrame()
+    return tbl.drop_columns(RANK_COL).to_pandas()
+
+
 def _per_group_take(quota_default: int):
     """map_groups body: keep the ``quota`` lowest-rank rows of the group."""
 

@@ -170,3 +170,29 @@ def test_outlier_density_score_recalls_planted_outliers():
     # the midpoint between the blobs sits in a density desert: calibrated
     # score ≈ 1, not merely "bigger than the blobs'"
     assert score[800] > 0.9
+
+
+def test_weighted_sample_properties():
+    """Efraimidis–Spirakis sampling: deterministic and partition-invariant;
+    zero weights never selected; inclusion tracks weight (9:1 strata must
+    skew the sample accordingly)."""
+    import numpy as np
+    import ray.data
+
+    from pacasam_ray.samplers.algos import sample_weighted
+
+    rows = [{"patch_id": i, "w": 0.0 if i % 10 == 0 else (9.0 if i % 2 else 1.0)}
+            for i in range(20_000)]
+    a = sample_weighted(ray.data.from_items(rows, override_num_blocks=3),
+                        1000, salt=5, weight_col="w")
+    b = sample_weighted(ray.data.from_items(rows, override_num_blocks=13),
+                        1000, salt=5, weight_col="w")
+    assert list(a["patch_id"]) == list(b["patch_id"])
+    assert len(a) == 1000
+    w = a["w"].to_numpy()
+    assert (w > 0).all()  # zero-weight rows excluded
+    heavy = (w == 9.0).sum()
+    light = (w == 1.0).sum()
+    # population: 9k heavy (w=9), 9k light (w=1) -> expected inclusion
+    # ratio ~9:1 at a small sampling fraction; allow generous noise
+    assert heavy / max(light, 1) > 4.5
