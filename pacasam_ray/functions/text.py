@@ -242,3 +242,40 @@ def text_scrub_sql(table: str = "documents", text_col: str = "text",
         sq = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{sq}', '{repl}', 'g')"
     return f"SELECT {id_col}, {expr} AS text_scrubbed FROM {table}"
+
+
+# --- repetition ratio (Gopher-style quality rule) ---------------------------
+
+def repetition_ratio(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Per-doc duplicate-2-gram fraction: 1 − distinct/total word-2-grams —
+    the Gopher/C4-style repetition filter signal. Inherently per-document
+    (set construction over that doc's grams); the division mirrors the SQL
+    twin's two IEEE ops exactly."""
+    ids = batch[id_col]
+    out = []
+    for txt in batch[text_col].to_pylist():
+        w = txt.split(" ")
+        total = len(w) - 1
+        if total <= 0:
+            out.append(0.0)
+            continue
+        distinct = len({(w[i], w[i + 1]) for i in range(total)})
+        out.append(1.0 - float(distinct) / float(total))
+    return pa.table({id_col: ids, "rep_ratio": pa.array(out, pa.float64())})
+
+
+def repetition_ratio_sql(table: str = "documents", text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    return f"""
+WITH toks AS (SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}),
+t AS (SELECT {id_col}, len(w) - 1 AS total FROM toks),
+g AS (SELECT DISTINCT {id_col}, w[i] || ' ' || w[i+1] AS g
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+d AS (SELECT {id_col}, COUNT(*) AS dist FROM g GROUP BY 1)
+SELECT t.{id_col},
+       CASE WHEN total <= 0 THEN 0.0
+            ELSE 1.0 - CAST(COALESCE(dist, 0) AS DOUBLE) / CAST(total AS DOUBLE)
+       END AS rep_ratio
+FROM t LEFT JOIN d ON t.{id_col} = d.{id_col}
+"""

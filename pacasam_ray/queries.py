@@ -1162,6 +1162,13 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+def q_repetition_ratio(sf_dir: str):
+    """Gopher-style repetition signal: per-doc duplicate-2-gram fraction."""
+    from .functions.text import repetition_ratio
+
+    return _docs(sf_dir).map_batches(repetition_ratio, batch_format="pyarrow")
+
+
 def q_text_scrub(sf_dir: str):
     """PII-style redaction (emails → <EMAIL>, phone-like digit runs →
     <PHONE>, numbers → <NUM>): actor-pool stage with regexes compiled once
@@ -1681,6 +1688,7 @@ def build_queries() -> dict:
         "simhash_neardup": q_simhash_neardup,
         "neardup_components": q_neardup_components,
         "text_scrub": q_text_scrub,
+        "repetition_ratio": q_repetition_ratio,
         "url_dedup": q_url_dedup,
         "top_terms": q_top_terms,
         "distinct_hll": q_distinct_hll,
@@ -1750,6 +1758,7 @@ def build_oracle_sql() -> dict:
         "simhash_neardup": _sql_simhash_neardup(),
         "neardup_components": _sql_neardup_components(),
         "text_scrub": _sql_text_scrub(),
+        "repetition_ratio": _sql_repetition_ratio(),
         "url_dedup": SQL_URL_DEDUP,
         "top_terms": SQL_TOP_TERMS,
         "distinct_hll": _sql_distinct_hll(),
@@ -1796,6 +1805,12 @@ def _sql_text_scrub() -> str:
     from .functions.text import text_scrub_sql
 
     return text_scrub_sql("documents")
+
+
+def _sql_repetition_ratio() -> str:
+    from .functions.text import repetition_ratio_sql
+
+    return repetition_ratio_sql("documents")
 
 
 def _sql_distinct_hll() -> str:
