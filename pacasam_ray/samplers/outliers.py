@@ -184,20 +184,23 @@ class OutliersSampler(Sampler):
             _score_fn(model_ref, cols), batch_format="pyarrow", zero_copy_batch=True
         )
 
-        # 3. top-k by outlier score (desc): per-batch partial top-k, tiny merge
+        # 3. top-k by outlier score (desc) = smallest-k by negated score —
+        # rides smallest_n's tree reduce + bounded streaming merge, so the
+        # driver pull stays O(k) however many blocks the scan produced.
         k = num_to_sample
 
-        def _local_topk(batch: pa.Table) -> pa.Table:
-            if batch.num_rows <= k:
-                return batch
-            v = batch["outlier_scores"].to_numpy(zero_copy_only=False)
-            idx = np.argpartition(-v, k - 1)[:k]
-            return batch.take(pa.array(np.sort(idx)))
+        def _neg(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__neg_score",
+                pa.array(-batch["outlier_scores"].to_numpy(zero_copy_only=False)),
+            )
 
-        top = scored.map_batches(_local_topk, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-        top = top.sort_values(
-            ["outlier_scores", PATCH_ID_COLNAME], ascending=[False, True], kind="mergesort"
-        ).head(k)
+        from .algos import smallest_n
+
+        top = smallest_n(
+            scored.map_batches(_neg, batch_format="pyarrow", zero_copy_batch=True),
+            k, col="__neg_score", tiebreak=PATCH_ID_COLNAME,
+        ).to_pandas().drop(columns="__neg_score")
 
         patches = top[PATCH_INFO + ["cluster_id", "outlier_scores"]].copy()
         patches["sampler"] = self.name

@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 
-def asof_join_backward(
+def asof_join_backward_ds(
     left_ds,
     right_ds,
     *,
@@ -35,10 +35,11 @@ def asof_join_backward(
     out_right_id: str,
     out_delta_us: str | None = None,
     num_partitions: int | None = None,
-) -> pd.DataFrame:
-    """Inner backward as-of join; returns (left_id, by, out_right_id
-    [, out_delta_us]) driver-side (result ≤ |left|; callers keep left small
-    or consume the grouped Dataset upstream)."""
+):
+    """Inner backward as-of join as a streaming Dataset of (left_id, by,
+    out_right_id [, out_delta_us]) — one row per matched left row, never
+    materialized on the driver. This is the scale entry point; the
+    DataFrame wrapper below is for small results/oracle comparison."""
 
     def _tag(side: int, id_col: str):
         def _f(batch: pa.Table) -> pa.Table:
@@ -88,12 +89,26 @@ def asof_join_backward(
             "__delta_us": delta,
         })
 
-    gb = combined.groupby(by, num_partitions=num_partitions) if num_partitions \
-        else combined.groupby(by)
-    out = gb.map_groups(_match, batch_format="pandas").to_pandas()
-    out = out.sort_values([left_id], kind="mergesort").reset_index(drop=True)
+    if num_partitions is None:
+        from .partitioning import pick_partitions
+
+        num_partitions = pick_partitions(combined)
+    matched = combined.groupby(by, num_partitions=num_partitions).map_groups(
+        _match, batch_format="pandas"
+    )
     if out_delta_us:
-        out = out.rename(columns={"__delta_us": out_delta_us})
-    else:
-        out = out.drop(columns="__delta_us")
-    return out
+        return matched.map_batches(
+            lambda df: df.rename(columns={"__delta_us": out_delta_us}),
+            batch_format="pandas",
+        )
+    return matched.map_batches(
+        lambda df: df.drop(columns="__delta_us"), batch_format="pandas"
+    )
+
+
+def asof_join_backward(left_ds, right_ds, **kw) -> pd.DataFrame:
+    """Driver-side convenience wrapper: materializes the streaming join and
+    sorts by the left id for stable presentation. Use
+    :func:`asof_join_backward_ds` when the result is itself big data."""
+    out = asof_join_backward_ds(left_ds, right_ds, **kw).to_pandas()
+    return out.sort_values([kw["left_id"]], kind="mergesort").reset_index(drop=True)
