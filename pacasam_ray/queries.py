@@ -1266,6 +1266,27 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def q_median_price(sf_dir: str):
+    """Exact distributed median (k-th order statistic) of l_extendedprice
+    via histogram-refinement quickselect — streaming count passes only, no
+    sort shuffle; the k-th VALUE is well-defined under ties, so the result
+    equals ORDER BY ... LIMIT 1 OFFSET (n-1)//2."""
+    from .stages.orderstats import percentile_disc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    out = percentile_disc(ds, "l_extendedprice", 0.5)
+    return out.rename(columns={"p50": "median_price"})
+
+
+SQL_MEDIAN_PRICE = """
+SELECT l_extendedprice AS median_price FROM lineitem
+ORDER BY l_extendedprice
+LIMIT 1 OFFSET ((SELECT COUNT(*) FROM lineitem) - 1) // 2
+"""
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct-count sketch over text: per-batch max-registers
     (2 small int columns leave each block, never the values), one tiny Max
@@ -1694,6 +1715,7 @@ def build_queries() -> dict:
         "distinct_hll": q_distinct_hll,
         "grouped_topk": q_grouped_topk,
         "weighted_sample": q_weighted_sample,
+        "median_price": q_median_price,
         "minhash_lsh": q_minhash_lsh,
         "minhash_dedup": q_minhash_dedup,
         "ann_topk": q_ann_topk,
@@ -1763,6 +1785,7 @@ def build_oracle_sql() -> dict:
         "top_terms": SQL_TOP_TERMS,
         "distinct_hll": _sql_distinct_hll(),
         "grouped_topk": SQL_GROUPED_TOPK,
+        "median_price": SQL_MEDIAN_PRICE,
         "ann_topk": _sql_ann_topk(),
         "embed_neardup": _sql_embed_neardup(),
         "media_meta": _sql_media_meta(),

@@ -90,3 +90,31 @@ def test_html_roundtrip_byte_identical():
     html = wrap_html(text)
     back = extract_text_from_html(html)
     assert pa.compute.cast(back, pa.string()).to_pylist() == text.to_pylist()
+
+
+def test_kth_smallest_value_refinement_and_ties(monkeypatch):
+    """Histogram-refinement quickselect: forced multi-round refinement
+    (tiny collect limit) must agree with numpy's full sort for edge ks,
+    interior ks, and a heavily-tied column."""
+    import numpy as np
+    import ray.data
+
+    from pacasam_ray.stages import orderstats
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.normal(100.0, 25.0, 4000),
+        np.full(1500, 77.7),          # heavy tie block
+        rng.uniform(-1000, 1000, 500),
+    ])
+    ds = ray.data.from_items([{"x": float(v)} for v in vals],
+                             override_num_blocks=7)
+    ordered = np.sort(vals, kind="stable")
+
+    monkeypatch.setattr(orderstats, "COLLECT_LIMIT", 50)
+    for k in (1, 2, len(vals) // 2, len(vals) - 1, len(vals)):
+        got = orderstats.kth_smallest_value(ds, "x", k)
+        assert got == float(ordered[k - 1]), k
+    # a k landing inside the tie block
+    k_tie = int(np.searchsorted(ordered, 77.7)) + 700
+    assert orderstats.kth_smallest_value(ds, "x", k_tie) == 77.7
