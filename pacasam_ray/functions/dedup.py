@@ -453,7 +453,33 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, bands: int = 4,
             "doc_id": out_id, "simhash": out_h, "band": band, "key": key,
         })
 
-    exploded = sh.map_batches(_explode, batch_format="pyarrow")
+    exploded = sh.map_batches(_explode, batch_format="pyarrow").materialize()
+
+    # Same singleton-bucket prefilter as the MinHash path: one vectorized
+    # Count aggregate finds the >= 2-member (band, key) buckets, their keys
+    # broadcast into an is_in filter — the per-group callback then only
+    # runs on genuine collision buckets, not on every singleton.
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    counts = exploded.groupby(["band", "key"]).aggregate(Count(alias_name="c"))
+    hot = counts.filter(expr="c >= 2").select_columns(["band", "key"]).to_pandas()
+    if not len(hot):
+        return _ray.data.from_pandas(pd.DataFrame({
+            "doc_a": pd.Series([], dtype=np.int64),
+            "doc_b": pd.Series([], dtype=np.int64),
+            "hamming": pd.Series([], dtype=np.int64),
+        }))
+    hot_keys = hot["key"].to_numpy(np.int64) * np.int64(bands) \
+        + hot["band"].to_numpy(np.int64)
+    keys_ref = _ray.put(pa.array(hot_keys))
+
+    def _keep_collisions(t: pa.Table) -> pa.Table:
+        k = (t["key"].to_numpy(zero_copy_only=False) * np.int64(bands)
+             + t["band"].to_numpy(zero_copy_only=False))
+        return t.filter(pc.is_in(pa.array(k), value_set=_ray.get(keys_ref)))
+
+    exploded = exploded.map_batches(_keep_collisions, batch_format="pyarrow")
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
