@@ -96,3 +96,18 @@ def test_sampling_connector_resamples(sampling_out, tmp_path):
     names = ds.schema().names
     assert "split" not in names and "sampler" not in names
     assert ds.count() == 50
+
+
+def test_no_make_stats_flag_skips_csvs(tmp_path):
+    out = tmp_path / "nostats"
+    path = cli_sample.main([
+        "--config_file", str(Path(__file__).resolve().parents[1] / "configs" / "synthetic.yml"),
+        "--connector_class", "ParquetConnector",
+        "--sampler_class", "RandomSampler",
+        "--output_path", str(out),
+        "--split", "any",
+        "--no-make_stats",
+    ])
+    assert path.exists()
+    stats_dir = out / "stats"
+    assert not stats_dir.exists() or not list(stats_dir.glob("*.csv"))
