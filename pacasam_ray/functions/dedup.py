@@ -277,8 +277,11 @@ class MinHashSignatures:
                 self.bands, dtype=np.int64
             )[None, :]
         values = np.repeat(S, self.bands, axis=0).ravel()
-        offsets = np.arange(n_docs * self.bands + 1, dtype=np.int32) * self.num_perm
-        sig_col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(values))
+        # int64 offsets via LargeListArray: int32 offsets silently overflow
+        # once n_docs*bands*num_perm exceeds 2**31 (~524k docs/batch at the
+        # default 32×128), corrupting the sig column.
+        offsets = np.arange(n_docs * self.bands + 1, dtype=np.int64) * self.num_perm
+        sig_col = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(values))
         return pa.table({
             self.id_col: pa.array(np.repeat(ids, self.bands)),
             "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int64), n_docs)),
@@ -587,16 +590,21 @@ def neardup_components_distributed(pairs_ds, a_col: str = "doc_a",
     billions of edges partition across the cluster.
 
     Each round ships every vertex's current label to its neighbors
-    (edges ⋈ labels) and takes the per-vertex min; labels decrease
-    monotonically to the component's min id in O(diameter) rounds (dup
-    clusters are near-cliques, so 2-4 rounds in practice). The fixpoint
-    test rides the same monotonicity: the global label sum strictly
-    decreases until converged, so one tiny Sum aggregate per round replaces
-    a changed-rows join. Result is identical to the driver union-find
-    (component = min doc id), asserted by pytest on random graphs.
+    (edges ⋈ labels), takes the per-vertex min, then POINTER-JUMPS
+    (labels ⋈ labels: lab(v) ← lab(lab(v)) — every label value is itself a
+    vertex because labels are mins over the symmetrized vertex set), so
+    convergence is O(log diameter) rounds instead of O(diameter); dup
+    clusters are near-cliques, so 1-2 rounds in practice. The fixpoint test
+    rides min-label monotonicity: the global label sum strictly decreases
+    until converged, and it is computed with a shuffle-free per-block
+    partial-sum pass (labels are materialized each round), not another
+    aggregate shuffle. Result is identical to the driver union-find
+    (component = min doc id), asserted by pytest on random graphs; if the
+    loop exhausts ``max_iters`` without reaching the fixpoint (graph
+    diameter > 2**max_iters — unreachable in practice) it raises rather
+    than return a non-fixpoint labeling.
     """
-    import ray
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Min
 
     from ..stages.partitioning import pick_partitions
 
@@ -611,6 +619,15 @@ def neardup_components_distributed(pairs_ds, a_col: str = "doc_a",
                              "component": pd.Series([], dtype=np.int64)})
     nparts = pick_partitions(edges)
 
+    def _label_sum(labels_ds) -> int:
+        # shuffle-free fixpoint metric: one int64 per block to the driver
+        def _p(t: pa.Table) -> pa.Table:
+            s = pc.sum(t["lab"]).as_py() or 0
+            return pa.table({"s": pa.array([s], type=pa.int64())})
+
+        parts = labels_ds.map_batches(_p, batch_format="pyarrow").to_pandas()
+        return int(parts["s"].sum())
+
     # Init = first propagation round for free: label(v) = min(v, N(v)).
     labels = edges.groupby("v", num_partitions=nparts).aggregate(
         Min("u", alias_name="lab")
@@ -619,8 +636,9 @@ def neardup_components_distributed(pairs_ds, a_col: str = "doc_a",
                             "lab": pc.min_element_wise(t["v"], t["lab"])}),
         batch_format="pyarrow",
     ).materialize()
-    cur_sum = labels.aggregate(Sum("lab", alias_name="s"))["s"]
+    cur_sum = _label_sum(labels)
 
+    converged = False
     for _ in range(max_iters):
         neigh = edges.join(
             labels.map_batches(
@@ -630,11 +648,31 @@ def neardup_components_distributed(pairs_ds, a_col: str = "doc_a",
         ).map_batches(lambda t: t.select(["v", "lab"]), batch_format="pyarrow")
         labels = neigh.union(labels).groupby("v", num_partitions=nparts).aggregate(
             Min("lab", alias_name="lab")
+        ).materialize()  # consumed twice by the self-join below
+        # Pointer jumping: lab(v) <- lab(lab(v)). Inner join is lossless
+        # here — every lab is a vertex id, and every vertex has a label row.
+        labels = labels.join(
+            labels.map_batches(
+                lambda t: t.rename_columns(["w", "lab2"]), batch_format="pyarrow"
+            ),
+            join_type="inner", num_partitions=nparts, on=("lab",), right_on=("w",),
+        ).map_batches(
+            lambda t: pa.table({"v": t["v"],
+                                "lab": pc.min_element_wise(t["lab"], t["lab2"])}),
+            batch_format="pyarrow",
         ).materialize()
-        new_sum = labels.aggregate(Sum("lab", alias_name="s"))["s"]
+        new_sum = _label_sum(labels)
         if new_sum == cur_sum:
+            converged = True
             break
         cur_sum = new_sum
+
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not reach a fixpoint in {max_iters} rounds; "
+            "component labels would be wrong — raise max_iters or use "
+            "neardup_components (driver union-find)"
+        )
 
     out = labels.to_pandas().rename(columns={"v": "doc_id", "lab": "component"})
     return out.astype({"doc_id": np.int64, "component": np.int64}).sort_values(

@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..hashing import rank_key
+from ..hashing import M31, rank_key
 
 RANK_COL = "__rank"
 MAX_COMPLETION_ROUNDS = 50
@@ -135,12 +135,13 @@ def sample_weighted(ds, n: int, salt: int, weight_col: str,
     of a crawl, favoring high-quality documents) — the weighted twin of
     :func:`sample_randomly`.
     """
-    TWO53 = float(1 << 53)
-
     def _key(batch: pa.Table) -> pa.Table:
         t = batch.select(columns) if columns else batch
         r = rank_key(t[key].to_numpy(zero_copy_only=False), salt)
-        u = ((r.astype(np.uint64) >> np.uint64(11)).astype(np.float64) + 1.0) / TWO53
+        # hmix is 31-bit: map [0, 2**31) -> (0, 1] so -ln(u) is Exp(1).
+        # (A >>11/2**53 mapping here once landed u in (0, 2**-33], making
+        # -ln(u) a near-constant ~23-37 that drowned the weights.)
+        u = (r.astype(np.float64) + 1.0) / float(M31)
         w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
         es = np.where(w > 0, -np.log(u) / np.maximum(w, 1e-300), np.inf)
         return t.append_column(RANK_COL, pa.array(es))

@@ -111,7 +111,12 @@ def fit_outlier_model(arr: np.ndarray, n_clusters: int, knn_k: int = 16,
     order = np.argsort(rank_key(np.arange(n, dtype=np.int64), salt + 1),
                        kind="stable")
     ref = np.ascontiguousarray(arr[order[: min(ref_size, n)]], dtype=np.float64)
-    k = max(1, min(knn_k, len(ref) - 1))
+    # k=0 marks the degenerate len(ref)<2 case: np.partition at kth=1 on a
+    # one-column distance matrix raises, and a single-ref density estimate
+    # is meaningless anyway — scoring short-circuits to all-zero scores.
+    k = min(knn_k, max(0, len(ref) - 1))
+    if k == 0:
+        return centers, ref, 0, np.full(len(centers), EPS_DIST)
     calib_idx = order[: min(_CALIBRATION_MAX_ROWS, n)]
     dk = _knn_dist(arr[calib_idx].astype(np.float64), ref, k)
     calib_labels = labels[calib_idx]
@@ -135,8 +140,11 @@ def _score_fn(model_ref, cols):
         ).astype(np.float64)
         d = ((arr[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
         lab = d.argmin(1)
-        dk = np.maximum(_knn_dist(arr, ref, k), EPS_DIST)
-        score = np.clip(1.0 - eps[lab] / dk, 0.0, 1.0)
+        if k == 0:  # degenerate fit sample (< 2 ref rows): no density signal
+            score = np.zeros(len(arr), dtype=np.float64)
+        else:
+            dk = np.maximum(_knn_dist(arr, ref, k), EPS_DIST)
+            score = np.clip(1.0 - eps[lab] / dk, 0.0, 1.0)
         batch = batch.append_column("cluster_id", pa.array(lab.astype(np.int64)))
         batch = batch.append_column("outlier_scores", pa.array(score))
         return batch

@@ -172,6 +172,24 @@ def test_outlier_density_score_recalls_planted_outliers():
     assert score[800] > 0.9
 
 
+def test_outlier_model_degenerate_fit_sample():
+    """A 1-row fit sample must not crash (np.partition kth=1 on a 1-col
+    matrix) — scores short-circuit to 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pacasam_ray.samplers.outliers import _score_fn, fit_outlier_model
+
+    arr = np.array([[1.0, 2.0]])
+    model = fit_outlier_model(arr, n_clusters=1, knn_k=8, ref_size=1)
+    assert model[2] == 0
+    scored = _score_fn(ray.put(model), ["f0", "f1"])(
+        pa.table({"f0": [1.0, 5.0], "f1": [2.0, -3.0]})
+    )
+    assert scored["outlier_scores"].to_pylist() == [0.0, 0.0]
+
+
 def test_weighted_sample_properties():
     """Efraimidis–Spirakis sampling: deterministic and partition-invariant;
     zero weights never selected; inclusion tracks weight (9:1 strata must
@@ -196,3 +214,7 @@ def test_weighted_sample_properties():
     # population: 9k heavy (w=9), 9k light (w=1) -> expected inclusion
     # ratio ~9:1 at a small sampling fraction; allow generous noise
     assert heavy / max(light, 1) > 4.5
+    # ...but light rows MUST still appear at roughly their expected ~100/1000
+    # rate: a weight-deterministic selection (every heavy key < every light
+    # key, the old degenerate-u bug) yields light == 0 and must fail here.
+    assert 50 <= light <= 200
