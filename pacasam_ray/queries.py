@@ -119,15 +119,23 @@ SQL_DEDUP_EXACT = (
 
 
 def q_grouped_top1(sf_dir: str):
-    """J4 as-of-style grouped top-1: per slab, row closest to a target value."""
+    """J4 as-of-style grouped top-1: per slab, row closest to a target value.
+
+    Routed through the vectorized grouped_topk reduce (hash-bucket
+    co-location + one sort/head per partition) — no per-group Python
+    callback, so the plan holds at 10^8 keys, not just 355 slabs."""
+    from .stages.topk import grouped_topk
+
     cat = make_catalogue(sf_dir).select_columns(["patch_id", "file_id", "nb_sol"])
-
-    def _top1(g: pd.DataFrame) -> pd.DataFrame:
-        d = (g["nb_sol"] - TOP1_CENTER).abs()
-        g = g.assign(__d=d).sort_values(["__d", "patch_id"], kind="mergesort")
-        return g.head(1).drop(columns="__d")
-
-    return cat.groupby("file_id").map_groups(_top1, batch_format="pandas")
+    withd = cat.map_batches(
+        lambda df: df.assign(__d=(df["nb_sol"] - TOP1_CENTER).abs()),
+        batch_format="pandas",
+    )
+    out = grouped_topk(withd, ["file_id"], "__d", 1,
+                       descending=False, tiebreak=["patch_id"])
+    return out.map_batches(
+        lambda df: df[["patch_id", "file_id", "nb_sol"]], batch_format="pandas"
+    )
 
 
 SQL_GROUPED_TOP1 = (
@@ -1012,27 +1020,39 @@ def q_events_sessions(sf_dir: str):
     """Gap-based sessionization (streaming-shaped): per-user event streams
     split into sessions wherever the inter-event gap exceeds SESSION_GAP_US;
     per-session count/min/max aggregates (order-invariant ⇒ exact).
-    groupby(user) shuffles each user's (small) stream to one worker — the
-    canonical keyed-stream layout."""
+    Users co-locate by hash bucket (`grouped_batch_map`); each ~256 MiB
+    partition sessionizes ALL its users in one vectorized pass (sort by
+    (user, ts, id), np.diff gap/user-boundary detection, per-user cumsum
+    reset) — one callback per partition, not per user, so 10^8-user
+    streams pay ~blocks dispatches."""
+    from .stages.partitioning import grouped_batch_map
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
     )
 
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
-        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new_s = np.ones(len(g), dtype=np.int64)
-        new_s[1:] = (us[1:] - us[:-1] > SESSION_GAP_US).astype(np.int64)
-        g["session_id"] = new_s.cumsum() - 1
-        out = g.groupby("session_id", sort=True).agg(
+    def _sessions_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        new_s = np.ones(len(df), dtype=bool)
+        new_s[1:] = (uid[1:] != uid[:-1]) | (us[1:] - us[:-1] > SESSION_GAP_US)
+        sid = new_s.cumsum(dtype=np.int64) - 1
+        # reset session ids per user: subtract the user's first session id
+        new_u = np.ones(len(df), dtype=bool)
+        new_u[1:] = uid[1:] != uid[:-1]
+        first = np.flatnonzero(new_u)
+        runs = np.diff(np.append(first, len(df)))
+        df["session_id"] = sid - np.repeat(sid[first], runs)
+        out = df.groupby(["user_id", "session_id"], sort=True).agg(
             n_events=("event_id", "size"),
             start_ts=("ts", "min"), end_ts=("ts", "max"),
             min_value=("value", "min"), max_value=("value", "max"),
         ).reset_index()
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         return out
 
-    return ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+    return grouped_batch_map(ds, ["user_id"], _sessions_part)
 
 
 SQL_EVENTS_SESSIONS = f"""

@@ -153,16 +153,6 @@ def sample_weighted(ds, n: int, salt: int, weight_col: str,
     return tbl.drop_columns(RANK_COL).to_pandas()
 
 
-def _per_group_take(quota_default: int):
-    """map_groups body: keep the ``quota`` lowest-rank rows of the group."""
-
-    def _take(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([RANK_COL, "patch_id"], kind="mergesort")
-        return g.head(quota_default)
-
-    return _take
-
-
 def strata_counts(ranked, strata: str) -> pd.DataFrame:
     """Per-strata row counts WITHOUT a shuffle: per-batch partial
     value_counts (combiner) → tiny driver-side merge. Strata cardinality is
@@ -233,11 +223,11 @@ def sample_with_stratification(
         reserve = reserve.sort_values([RANK_COL, "patch_id"], kind="mergesort")
         reserve = reserve.groupby(strata, sort=False, group_keys=False).head(depth)
     else:
-        reserve = (
-            pruned.groupby(strata)
-            .map_groups(_per_group_take(depth), batch_format="pandas")
-            .to_pandas()
-        )
+        from ..stages.partitioning import grouped_batch_map
+
+        # strata co-located by hash bucket; ONE vectorized sort +
+        # groupby.head per partition (not a Python callback per stratum)
+        reserve = grouped_batch_map(pruned, [strata], _local_prune).to_pandas()
 
     reserve = reserve.sort_values([RANK_COL, "patch_id"], kind="mergesort")
     selected = reserve.groupby(strata, sort=False, group_keys=False).head(quota)
@@ -332,10 +322,16 @@ def multi_stratified_sample(
         g = g.groupby(["__spec", strata], sort=False, group_keys=False).head(max_depth)
         return g
 
-    def _grouped_take(g: pd.DataFrame) -> pd.DataFrame:
-        si = int(g["__spec"].iloc[0])
-        gg = g.sort_values([RANK_COL, "patch_id"], kind="mergesort")
-        return gg.head(depths[si])
+    depth_arr = np.zeros(len(specs), dtype=np.int64)
+    for si in range(len(specs)):
+        depth_arr[si] = depths[si]
+
+    def _bucket_take(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-(spec, stratum) head(depth[spec]) across the
+        # whole bucket: cumcount < spec depth after one sort
+        df = df.sort_values([RANK_COL, "patch_id"], kind="mergesort")
+        cc = df.groupby(["__spec", strata], sort=False).cumcount().to_numpy()
+        return df[cc < depth_arr[df["__spec"].to_numpy()]]
 
     pruned = tagged.map_batches(_local_prune, batch_format="pandas")
     if sum(totals.values()) <= DRIVER_MERGE_MAX_ROWS:
@@ -349,11 +345,11 @@ def multi_stratified_sample(
         ]
         reserve_all = pd.concat(parts, ignore_index=True) if parts else merged
     else:
-        reserve_all = (
-            pruned.groupby(["__spec", strata])
-            .map_groups(_grouped_take, batch_format="pandas")
-            .to_pandas()
-        )
+        from ..stages.partitioning import grouped_batch_map
+
+        reserve_all = grouped_batch_map(
+            pruned, ["__spec", strata], _bucket_take
+        ).to_pandas()
 
     out: dict[str, pd.DataFrame] = {}
     for si, spec in enumerate(specs):

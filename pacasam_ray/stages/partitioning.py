@@ -69,3 +69,47 @@ def pick_partitions(
             return lo
         est_bytes = sum(known)
     return max(lo, min(hi, -(-est_bytes // target_bytes)))
+
+
+_FNV_PRIME = 1099511628211
+
+
+def grouped_batch_map(ds, keys: list[str], fn, nparts: int | None = None):
+    """Partition-level replacement for ``groupby(keys).map_groups(fn)``.
+
+    ``map_groups`` dispatches a Python callback PER GROUP (~50 µs each —
+    measured at 87 s for 1.5 M groups, see stages/dedup.py); at 10^8 keys
+    that is the whole job. This helper instead groups on a deterministic
+    hash BUCKET of the key columns, so the callback count equals the
+    bucket count (``pick_partitions``-derived, ~1 per 256 MiB) and ``fn``
+    receives each bucket's rows as ONE DataFrame that contains only whole
+    key-groups — ``fn`` must therefore be vectorized ACROSS groups
+    (sort + ``df.groupby(keys)``-style kernels), which is exactly what a
+    post-shuffle reduce wants.
+
+    Determinism: buckets come from ``pandas.util.hash_pandas_object``
+    (keyed SipHash of values — stable across processes and partitions;
+    works for any key dtype incl. strings), FNV-folded across multiple key
+    columns. The bucket column never reaches ``fn`` or the output.
+    """
+    import numpy as np
+    import pandas as pd
+
+    nparts = nparts or pick_partitions(ds)
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(df), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k in keys:
+                h = h * np.uint64(_FNV_PRIME) + pd.util.hash_pandas_object(
+                    df[k], index=False
+                ).to_numpy()
+        return df.assign(__bucket=(h % np.uint64(nparts)).astype(np.int64))
+
+    def _apply(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__bucket"))
+
+    tagged = ds.map_batches(_tag, batch_format="pandas")
+    return tagged.groupby("__bucket", num_partitions=min(nparts, MAX_PARTITIONS)).map_groups(
+        _apply, batch_format="pandas"
+    )

@@ -3,18 +3,17 @@ QUALIFY ROW_NUMBER() <= k pattern, J4's grouped-top-1 generalized).
 
 Plan: a per-batch COMBINER keeps at most k rows per group per block (top-k
 is associative per group, so pruning before the shuffle is lossless), then
-a hash-shuffle groupby applies the same prune per whole group. The shuffle
-therefore moves ≤ k rows per (group, block) — never the full table. The
-final per-group apply is a pandas ``head`` after one vectorized sort; for
-extreme group cardinalities (10^8+ groups) the same combiner feeds a
-sort-based window instead, but at that point the output itself is of
-corpus scale.
+the reduce side co-locates whole groups by KEY-HASH BUCKET
+(`grouped_batch_map`) and applies ONE vectorized sort + ``groupby.head(k)``
+per ~256 MiB partition — never a Python callback per group, so 10^8-group
+inputs pay ~blocks callbacks, not 10^8 dispatches.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-import pyarrow as pa
+
+from .partitioning import grouped_batch_map
 
 
 def grouped_topk(ds, group_cols: list[str], sort_col: str, k: int,
@@ -30,4 +29,4 @@ def grouped_topk(ds, group_cols: list[str], sort_col: str, k: int,
         return df.groupby(group_cols, sort=False).head(k)
 
     local = ds.map_batches(_prune, batch_format="pandas")
-    return local.groupby(group_cols).map_groups(_prune, batch_format="pandas")
+    return grouped_batch_map(local, group_cols, _prune)

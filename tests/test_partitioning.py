@@ -79,3 +79,55 @@ def test_smallest_n_tree_reduce_matches_flat_on_many_blocks():
     # deterministic: the result is the global (rank, id) bottom-100
     allr = pd.DataFrame(rows).sort_values(["__r", "patch_id"]).head(100)
     assert list(flat["patch_id"]) == list(allr["patch_id"])
+
+
+def test_grouped_batch_map_one_callback_per_bucket():
+    """High-group-cardinality reduce: callbacks scale with BUCKETS (nparts),
+    not groups — every group lands whole in exactly one callback."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pacasam_ray.stages.partitioning import grouped_batch_map
+
+    n_groups, rows_per = 20_000, 3
+    rows = [{"k": g, "v": g * rows_per + r}
+            for g in range(n_groups) for r in range(rows_per)]
+    ds = ray.data.from_items(rows, override_num_blocks=16)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        # one output row PER CALLBACK: row count of the result == #callbacks
+        return pd.DataFrame({"n_groups": [df["k"].nunique()],
+                             "n_rows": [len(df)]})
+
+    out = grouped_batch_map(ds, ["k"], fn, nparts=8).to_pandas()
+    assert len(out) <= 8, f"{len(out)} callbacks for 8 buckets"
+    assert int(out["n_groups"].sum()) == n_groups  # each group seen once
+    assert int(out["n_rows"].sum()) == n_groups * rows_per
+
+
+def test_grouped_topk_high_cardinality_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pacasam_ray.stages.topk import grouped_topk
+
+    rng = np.random.RandomState(7)
+    n = 60_000
+    df = pd.DataFrame({
+        "g": rng.randint(0, 25_000, n),
+        "s": rng.randint(0, 1_000_000, n),
+        "id": np.arange(n),
+    })
+    ds = ray.data.from_pandas(df).repartition(16)
+    got = grouped_topk(ds, ["g"], "s", 2, descending=True,
+                       tiebreak=["id"]).to_pandas()
+    want = (df.sort_values(["g", "s", "id"], ascending=[True, False, True],
+                           kind="mergesort")
+              .groupby("g", sort=False).head(2))
+    got = got.sort_values(["g", "s", "id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    want = want.sort_values(["g", "s", "id"],
+                            ascending=[True, False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "s", "id"]], want[["g", "s", "id"]])
