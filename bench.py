@@ -69,18 +69,19 @@ def run_bench() -> dict:
     consume(queries["tile_assign"](SF_DIR))
     n_docs = consume(queries["tile_assign"](SF_DIR))
 
-    # best-of-REPS per query: the sandbox host has noisy neighbors that can
-    # inflate any single timing 3-4× (see BASELINE.md); min is the
-    # least-polluted estimate of engine capability.
-    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(reps):
+    # best-of-REPS per query, reps INTERLEAVED at the sweep level: the
+    # sandbox host has noisy neighbors that can inflate any single timing
+    # 3-4× (see BASELINE.md), and a burst lasts seconds — running the whole
+    # sweep N times and taking each query's min ACROSS sweeps means a burst
+    # would have to recur at the same query in every sweep to pollute it.
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    best: dict[str, float] = {name: float("inf") for name in BENCH_QUERIES}
+    for _ in range(reps):
+        for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             consume(queries[name](SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            best[name] = min(best[name], time.perf_counter() - t0)
+    timings = {name: round(v, 4) for name, v in best.items()}
 
     total = round(sum(timings.values()), 4)
     out = {

@@ -70,12 +70,15 @@ def cosine_from_ints(dots: np.ndarray, na: np.ndarray, nb: np.ndarray) -> np.nda
 
 
 def ann_topk(ds, query_matrix: np.ndarray, k: int,
-             id_col: str = "vec_id", emb_col: str = "embedding") -> pd.DataFrame:
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             force_tree: bool | None = None) -> pd.DataFrame:
     """Brute-force cosine top-k per query, distributed with per-batch pruning.
 
     Returns (query_id, vec_id, cos, rank) — ties broken by vec_id asc.
     Self-matches are NOT excluded (a query that exists in the corpus ranks
-    itself first with cos == 1.0, same as the SQL oracle).
+    itself first with cos == 1.0, same as the SQL oracle). The merge is
+    tree-reduced (stages.topk.merge_local_topk), so the driver pulls
+    O(k·Q) rows however many input blocks there are.
     """
     qz = np.asarray(query_matrix, dtype=np.int64)
     qn = (qz * qz).sum(axis=1)
@@ -101,16 +104,16 @@ def ann_topk(ds, query_matrix: np.ndarray, k: int,
             "cos": np.concatenate(out_c),
         })
 
-    parts = ds.map_batches(
-        _local_topk, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    out = (
-        parts.sort_values(["query_id", "cos", id_col],
-                          ascending=[True, False, True], kind="mergesort")
-        .groupby("query_id", sort=True, group_keys=False)
-        .head(k)
-        .reset_index(drop=True)
+    from ..stages.topk import merge_local_topk
+
+    parts = ds.map_batches(_local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    out = merge_local_topk(
+        parts, k, ["query_id", "cos", id_col], [True, False, True],
+        source=ds, force_tree=force_tree,
     )
+    out = out.sort_values(["query_id", "cos", id_col],
+                          ascending=[True, False, True],
+                          kind="mergesort").reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out
 
@@ -223,35 +226,44 @@ class _HyperplaneSigner:
         })
 
 
+# Above this estimated corpus size the LSH verify stops broadcasting the
+# full quantized matrix (object-store bound) and switches to the
+# distributed pair-join path.
+BROADCAST_SIDE_MAX_BYTES = 2 * 1024 ** 3
+
+
 def embed_neardup_lsh(ds, tau: float = 0.4, n_tables: int = 24, bits: int = 5,
                       seed: int = 23, id_col: str = "vec_id",
                       emb_col: str = "embedding",
                       concurrency: int | tuple = (1, 8),
-                      corpus_path: str | None = None):
-    """Scale path: random-hyperplane LSH buckets → per-bucket exact cosine
+                      corpus_path: str | None = None,
+                      side: str | None = None,
+                      broadcast_max_bytes: int = BROADCAST_SIDE_MAX_BYTES):
+    """Scale path: random-hyperplane LSH buckets → exact cosine
     verification → pair dedup. Output ⊆ exact result; recall grows with
     n_tables (collision prob per table = (1 − θ/π)^bits).
 
-    Shuffle discipline: only (id, tab, key) rows move — 3 ints per
-    (vector, table), not a vector copy per table. The quantized corpus
-    matrix is built once (from ``corpus_path`` when given, else collected
-    from ``ds``), sorted by id, and broadcast via ``ray.put``; each bucket
-    group re-reads its members' vectors by ``np.searchsorted``. For a
-    corpus too large for the object store, the side table becomes a hash
-    join of (id → vector) against the DISTINCT bucketed ids — still one
-    vector copy per id, never one per (id, table).
+    Shuffle discipline: only (id, tab, key) rows move through the bucket
+    shuffle — 3 ints per (vector, table), never a vector copy per table.
+    Verification has two physical plans, chosen by the metadata-only size
+    estimate (override with ``side="broadcast"|"join"``):
+
+    - **broadcast** (corpus fits the object store): the quantized matrix is
+      built once, sorted by id, ``ray.put`` once; each bucket group gathers
+      its members' vectors by ``np.searchsorted``.
+    - **join** (corpus beyond ``broadcast_max_bytes``): buckets emit ID
+      PAIRS only (after a singleton-bucket prefilter); pairs dedup across
+      tables with one Count groupby; then the (id → vector) side joins in
+      by hash — one vector copy per unique pair side, never a resident
+      full-matrix replica. Identical output to the broadcast plan
+      (asserted by a path-equivalence test).
     """
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.partitioning import (estimated_size_bytes,
+                                       grouped_batch_map, pick_partitions)
+
     dim = len(ds.take(1)[0][emb_col])
-    if corpus_path is not None:
-        t = pq.read_table(corpus_path, columns=[id_col, emb_col])
-    else:
-        t = pa.concat_tables(
-            ray.get(ds.select_columns([id_col, emb_col]).to_arrow_refs())
-        )
-    ids_all = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(ids_all, kind="stable")
-    mat = quantize(np.stack(t[emb_col].combine_chunks().to_numpy(zero_copy_only=False)))
-    side_ref = ray.put((ids_all[order], np.ascontiguousarray(mat[order])))
 
     sigs = ds.map_batches(
         _HyperplaneSigner, batch_format="pyarrow",
@@ -259,29 +271,140 @@ def embed_neardup_lsh(ds, tau: float = 0.4, n_tables: int = 24, bits: int = 5,
         concurrency=concurrency,
     )
 
-    def _verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    if side is None:
+        est = estimated_size_bytes(ds)
+        side = "join" if est is not None and est > broadcast_max_bytes else "broadcast"
+
+    if side == "broadcast":
+        if corpus_path is not None:
+            t = pq.read_table(corpus_path, columns=[id_col, emb_col])
+        else:
+            t = pa.concat_tables(
+                ray.get(ds.select_columns([id_col, emb_col]).to_arrow_refs())
+            )
+        ids_all = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids_all, kind="stable")
+        mat = quantize(np.stack(t[emb_col].combine_chunks().to_numpy(zero_copy_only=False)))
+        side_ref = ray.put((ids_all[order], np.ascontiguousarray(mat[order])))
+
+        def _verify(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) < 2:
+                return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                     "doc_b": pd.Series([], dtype=np.int64),
+                                     "cos": pd.Series([], dtype=np.float64)})
+            ids_sorted, m_all = ray.get(side_ref)
+            ids = np.sort(g[id_col].to_numpy().astype(np.int64))
+            m = m_all[np.searchsorted(ids_sorted, ids)]
+            n = (m * m).sum(axis=1)
+            dots = m @ m.T
+            cos = cosine_from_ints(dots, n[:, None], n[None, :])
+            ia, ib = np.triu_indices(len(ids), 1)
+            keep = cos[ia, ib] >= tau
+            return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
+                                 "cos": cos[ia, ib][keep]})
+
+        pairs = sigs.groupby(["tab", "key"]).map_groups(_verify, batch_format="pandas")
+
+        # A pair found in k tables appears k times with an identical cos —
+        # dedup is a vectorized Min aggregate, not a per-group Python callback.
+        return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("cos", alias_name="cos"))
+
+    # ---- join path: no resident corpus replica anywhere ----
+    sigs = sigs.materialize()  # feeds the prefilter AND the pair stage
+
+    # Singleton buckets dominate and can't produce pairs: one Count
+    # aggregate finds the >= 2-member buckets, broadcast into an is_in
+    # filter (same prefilter as minhash_lsh_pairs).
+    counts = sigs.groupby(["tab", "key"]).aggregate(Count(alias_name="c"))
+    hot = counts.filter(expr="c >= 2").select_columns(["tab", "key"]).to_pandas()
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64),
+                          "cos": pd.Series([], dtype=np.float64)})
+    if not len(hot):
+        return ray.data.from_pandas(empty)
+    with np.errstate(over="ignore"):
+        hot_keys = (hot["key"].to_numpy(np.int64) * np.int64(37)
+                    + hot["tab"].to_numpy(np.int64))
+    keys_ref = ray.put(pa.array(hot_keys))
+
+    def _keep_collisions(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        with np.errstate(over="ignore"):
+            k = (t["key"].to_numpy(zero_copy_only=False) * np.int64(37)
+                 + t["tab"].to_numpy(zero_copy_only=False))
+        return t.filter(pc.is_in(pa.array(k), value_set=ray.get(keys_ref)))
+
+    cand = sigs.map_batches(_keep_collisions, batch_format="pyarrow")
+
+    def _bucket_id_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per bucket; the loop is over collision buckets only
+        # (post-prefilter), inside ONE partition-level callback
+        out_a, out_b = [], []
+        for _, g in df.groupby(["tab", "key"], sort=False):
+            ids = np.sort(g[id_col].to_numpy().astype(np.int64))
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), 1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64),
-                                 "cos": pd.Series([], dtype=np.float64)})
-        ids_sorted, m_all = ray.get(side_ref)
-        ids = np.sort(g[id_col].to_numpy().astype(np.int64))
-        m = m_all[np.searchsorted(ids_sorted, ids)]
-        n = (m * m).sum(axis=1)
-        dots = m @ m.T
-        cos = cosine_from_ints(dots, n[:, None], n[None, :])
-        ia, ib = np.triu_indices(len(ids), 1)
-        keep = cos[ia, ib] >= tau
-        return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
-                             "cos": cos[ia, ib][keep]})
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
 
-    pairs = sigs.groupby(["tab", "key"]).map_groups(_verify, batch_format="pandas")
+    id_pairs = grouped_batch_map(cand, ["tab", "key"], _bucket_id_pairs)
+    nparts = pick_partitions(id_pairs, ds)
+    uniq = id_pairs.groupby(["doc_a", "doc_b"], num_partitions=nparts).aggregate(
+        Count(alias_name="__c")
+    ).map_batches(lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
 
-    # A pair found in k tables appears k times with an identical cos —
-    # dedup is a vectorized Min aggregate, not a per-group Python callback.
-    from ray.data.aggregate import Min
+    # Ray's hash join rejects list-typed payloads: ship each quantized
+    # vector as ONE fixed_size_binary(dim*8) cell — packed/unpacked
+    # zero-copy through Arrow buffers, no per-row Python.
+    byte_width = dim * 8
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("cos", alias_name="cos"))
+    def _pack(name_id: str, name_e: str):
+        def f(t: pa.Table) -> pa.Table:
+            ez = np.ascontiguousarray(_batch_qmat(t, emb_col))
+            fsb = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(byte_width), len(ez), [None, pa.py_buffer(ez.tobytes())]
+            )
+            return pa.table({name_id: t[id_col], name_e: fsb})
+        return f
+
+    def _unpack(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        buf = arr.buffers()[1]
+        return np.frombuffer(
+            buf, dtype=np.int64, count=len(arr) * dim, offset=arr.offset * byte_width
+        ).reshape(len(arr), dim)
+
+    vecs_a = ds.map_batches(_pack("__ida", "__ea"), batch_format="pyarrow")
+    vecs_b = ds.map_batches(_pack("__idb", "__eb"), batch_format="pyarrow")
+    j = uniq.join(vecs_a, join_type="inner", num_partitions=nparts,
+                  on=("doc_a",), right_on=("__ida",))
+    j = j.join(vecs_b, join_type="inner", num_partitions=nparts,
+               on=("doc_b",), right_on=("__idb",))
+
+    def _cos_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        ea = _unpack(t["__ea"])
+        eb = _unpack(t["__eb"])
+        dots = np.einsum("ij,ij->i", ea, eb)
+        na = np.einsum("ij,ij->i", ea, ea)
+        nb = np.einsum("ij,ij->i", eb, eb)
+        cos = cosine_from_ints(dots, na, nb)
+        keep = cos >= tau
+        return pa.table({
+            "doc_a": pa.array(t["doc_a"].to_numpy(zero_copy_only=False)[keep]),
+            "doc_b": pa.array(t["doc_b"].to_numpy(zero_copy_only=False)[keep]),
+            "cos": pa.array(cos[keep]),
+        })
+
+    return j.map_batches(_cos_filter, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -388,15 +511,14 @@ def ann_topk_ivf(ds, query_matrix: np.ndarray, k: int, centroids: np.ndarray,
             "cos": np.concatenate(out_c),
         })
 
-    parts = ds.map_batches(
-        _local_topk, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    out = (
-        parts.sort_values(["query_id", "cos", id_col],
-                          ascending=[True, False, True], kind="mergesort")
-        .groupby("query_id", sort=True, group_keys=False)
-        .head(k)
-        .reset_index(drop=True)
+    from ..stages.topk import merge_local_topk
+
+    parts = ds.map_batches(_local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    out = merge_local_topk(
+        parts, k, ["query_id", "cos", id_col], [True, False, True], source=ds,
     )
+    out = out.sort_values(["query_id", "cos", id_col],
+                          ascending=[True, False, True],
+                          kind="mergesort").reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out

@@ -84,6 +84,14 @@ def run_sampling(sf_dir: str, sampler_name: str, config: dict | None = None,
     cf = {**DEFAULT_CONFIG, **(config or {})}
     catalogue = make_catalogue(sf_dir)
     sampler = SAMPLERS_LIBRARY[sampler_name](sampling_config=cf, log=log)
+    if getattr(sampler, "dataset_native", False):
+        # corpus-sized selection (CopySampler): stamp + stream, no driver
+        # round-trip and no broadcast join-back
+        enriched = sampler.get_patches_dataset(catalogue)
+        if output_path:
+            enriched.write_parquet(output_path)
+            return enriched
+        return enriched.to_pandas()
     selection = sampler.get_patches(catalogue)
     enriched = extract_selection(catalogue, selection)
     if output_path:

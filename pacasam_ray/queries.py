@@ -725,7 +725,11 @@ def q_tpch_q5(sf_dir: str):
     sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
                           columns=["s_suppkey", "s_nationkey"])
     sup = sup[sup["s_nationkey"].isin(nation_name)]
-    sup_ref = ray.put(dict(zip(sup["s_suppkey"], sup["s_nationkey"])))
+    # sorted (key, value) arrays: the per-batch probe is a vectorized
+    # np.searchsorted, not a per-row dict .map
+    sup = sup.sort_values("s_suppkey", kind="mergesort")
+    sup_ref = ray.put((sup["s_suppkey"].to_numpy(np.int64),
+                       sup["s_nationkey"].to_numpy(np.int64)))
     region_keys = pa.array(list(nation_name), type=pa.int64())
 
     orders = ray.data.read_parquet(
@@ -754,9 +758,13 @@ def q_tpch_q5(sf_dir: str):
                 on=("l_orderkey",), right_on=("o_orderkey",))
 
     def _partial(t: pa.Table) -> pa.Table:
-        smap = ray.get(sup_ref)
-        s_nat = pd.Series(t["l_suppkey"].to_numpy(zero_copy_only=False)).map(smap)
-        keep = s_nat.to_numpy() == t["c_nationkey"].to_numpy(zero_copy_only=False)
+        skeys, snat = ray.get(sup_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(skeys, sk)
+        pos_c = np.minimum(pos, len(skeys) - 1)
+        found = (len(skeys) > 0) & (skeys[pos_c] == sk)
+        s_nat = np.where(found, snat[pos_c], np.int64(-1))
+        keep = s_nat == t["c_nationkey"].to_numpy(zero_copy_only=False)
         price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         disc_c = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         df = pd.DataFrame({

@@ -100,6 +100,36 @@ def _standardize_one(v: np.ndarray, st: dict) -> np.ndarray:
     return out
 
 
+def validate_nan_free(ds, columns: list[str]) -> None:
+    """Raise UnexpectedNaNValuesError if any column holds a NaN — the
+    reference validates BEFORE either transform (algos.py:74-76), so the
+    quantile path needs this even though its grid fit never aggregates
+    sums. One shuffle-free pass: per-block NaN counts (one int per column
+    per block) → driver sum. Integer columns are NaN-free by type and
+    skipped without reading."""
+    sch = ds.schema()  # Ray Schema wrapper: parallel .names / .types lists
+    types = dict(zip(sch.names, sch.types))
+    float_cols = [c for c in columns if not pa.types.is_integer(types[c])]
+    if not float_cols:
+        return
+
+    def _f(batch: pa.Table) -> pa.Table:
+        out = {}
+        for c in float_cols:
+            v = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            out[c] = [int(np.isnan(v).sum())]
+        return pa.table(out)
+
+    parts = ds.select_columns(float_cols).map_batches(
+        _f, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    for c in float_cols:
+        if int(parts[c].sum()) > 0:
+            raise UnexpectedNaNValuesError(
+                f"column {c} has NaN values before normalization"
+            )
+
+
 def fit_quantile_grid(ds, columns: list[str], n_quantiles: int, subsample: int = 100_000,
                       key: str = "patch_id") -> dict:
     """Quantile references fitted on a deterministic hash-rank subsample of
@@ -156,8 +186,10 @@ def normalize_dataset(ds, columns: list[str], normalization: str = "standardizat
     if normalization == "standardization":
         stats = compute_normalization_stats(ds, columns)
         return apply_normalization(ds, columns, normalization=normalization, stats=stats)
+    # match the reference: NaN validation precedes EITHER transform
+    # (src/pacasam/samplers/algos.py:74-76)
+    validate_nan_free(ds, columns)
     grid = fit_quantile_grid(ds, columns, n_quantiles)
-    # quantilization still validates NaN-freeness via the stats pass contract
     return apply_normalization(ds, columns, normalization=normalization, grid=grid)
 
 

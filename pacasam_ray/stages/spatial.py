@@ -184,14 +184,15 @@ def knn_brute(ds, query_points: np.ndarray, k: int, x_col: str = "x", y_col: str
             "dist2": np.concatenate(out_d),
         })
 
-    parts = ds.map_batches(_local_topk, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    out = (
-        parts.sort_values(["query_id", "dist2", id_col], kind="mergesort")
-        .groupby("query_id", sort=True, group_keys=False)
-        .head(k)
-        .reset_index(drop=True)
+    from .topk import merge_local_topk
+
+    parts = ds.map_batches(_local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    out = merge_local_topk(
+        parts, k, ["query_id", "dist2", id_col], [True, True, True], source=ds,
     )
-    return out
+    return out.sort_values(
+        ["query_id", "dist2", id_col], kind="mergesort"
+    ).reset_index(drop=True)
 
 
 def knn_kring(ds, query_points: np.ndarray, k: int, *, grid: int, patch_size: float,
@@ -268,13 +269,14 @@ def knn_kring(ds, query_points: np.ndarray, k: int, *, grid: int, patch_size: fl
                 "dist2": np.concatenate(out_d),
             })
 
-        parts = ds.map_batches(_ring_topk, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-        out = (
-            parts.sort_values(["query_id", "dist2", id_col], kind="mergesort")
-            .groupby("query_id", sort=True, group_keys=False)
-            .head(k)
-            .reset_index(drop=True)
-        )
+        from .topk import merge_local_topk
+
+        parts = ds.map_batches(_ring_topk, batch_format="pyarrow", zero_copy_batch=True)
+        out = merge_local_topk(
+            parts, k, ["query_id", "dist2", id_col], [True, True, True], source=ds,
+        ).sort_values(
+            ["query_id", "dist2", id_col], kind="mergesort"
+        ).reset_index(drop=True)
 
         if r >= grid:  # full grid covered: nothing outside the ring exists
             return out

@@ -96,6 +96,22 @@ def test_embed_lsh_subset_and_recall():
     assert len(lp & ep) / len(ep) >= 0.5
 
 
+def test_embed_lsh_join_path_equivalence():
+    """The distributed pair-join verify (corpus beyond the object store)
+    must produce EXACTLY the broadcast plan's pairs and cosines."""
+    from pacasam_ray.functions.similarity import embed_neardup_lsh
+
+    def norm(df):
+        return (df.sort_values(["doc_a", "doc_b"])
+                  .reset_index(drop=True)[["doc_a", "doc_b", "cos"]]
+                  .astype({"doc_a": "int64", "doc_b": "int64"}))
+
+    bc = norm(embed_neardup_lsh(embs_ds(), tau=0.4, side="broadcast").to_pandas())
+    jn = norm(embed_neardup_lsh(embs_ds(), tau=0.4, side="join").to_pandas())
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(bc, jn)
+
+
 def test_neardup_components_transitive():
     """A~B, B~C, D~E ⇒ {A,B,C} labeled min(A), {D,E} labeled min(D);
     partition layout of the edge stream must not matter."""
@@ -117,6 +133,10 @@ def test_ann_topk_batch_invariance():
     a = ann_topk(embs_ds(), qm, 5)
     b = ann_topk(embs_ds().repartition(11), qm, 5)
     pd.testing.assert_frame_equal(a, b)
+    # forced tree-reduce over a 64-block input: the merge must stay exact
+    # when the driver pull goes through the repartition + re-prune level
+    c = ann_topk(embs_ds().repartition(64), qm, 5, force_tree=True)
+    pd.testing.assert_frame_equal(a, c)
 
 
 def test_ann_topk_self_match():

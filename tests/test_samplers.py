@@ -218,3 +218,26 @@ def test_weighted_sample_properties():
     # rate: a weight-deterministic selection (every heavy key < every light
     # key, the old degenerate-u bug) yields light == 0 and must fail here.
     assert 50 <= light <= 200
+
+
+def test_copy_sampler_dataset_native_equivalence(tmp_path):
+    """CopySampler's Dataset-native path (no driver round-trip, no broadcast
+    join-back) must produce the same rows/columns as run_sampling's generic
+    path would for the stamped schema."""
+    import ray
+
+    from pacasam_ray.pipelines.sampling import make_catalogue, run_sampling
+    from pacasam_ray.samplers.copy import CopySampler
+
+    sf = "/root/testdata/sf0.001"
+    cat = make_catalogue(sf)
+    s = CopySampler(sampling_config={})
+    native = s.get_patches_dataset(cat).to_pandas()
+    pandas_sel = s.get_patches(cat)
+    assert len(native) == len(pandas_sel) == cat.count()
+    assert set(pandas_sel["patch_id"]) == set(native["patch_id"])
+    assert (native["sampler"] == "CopySampler").all()
+    assert native["split"].isna().all()
+    # run_sampling routes CopySampler through the native path and can sink
+    out = run_sampling(sf, "CopySampler", output_path=str(tmp_path / "copy_out"))
+    assert out.count() == len(native)

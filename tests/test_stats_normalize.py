@@ -104,3 +104,23 @@ def test_salted_groupby_matches_naive():
     pd.testing.assert_frame_equal(
         salted[["file_id", "num_rows", "sum_nb_total"]], ref, check_dtype=False
     )
+
+
+def test_quantile_mode_rejects_nan():
+    """Reference raises UnexpectedNaNValuesError before EITHER transform
+    (src/pacasam/samplers/algos.py:74-76) — quantile mode included."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from pacasam_ray.stages.normalize import (UnexpectedNaNValuesError,
+                                              normalize_dataset)
+
+    df = pd.DataFrame({
+        "patch_id": np.arange(100, dtype=np.int64),
+        "f": np.where(np.arange(100) == 37, np.nan, 1.5),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    with pytest.raises(UnexpectedNaNValuesError):
+        normalize_dataset(ds, ["f"], normalization="quantilization")
