@@ -359,9 +359,13 @@ def minhash_lsh_pairs(ds, num_perm: int = 128, bands: int = 32, n: int = 3,
     pairs = cand.groupby(["band", "bucket"]).map_groups(_bucket_pairs, batch_format="pandas")
     # A pair colliding in k bands appears k times with an identical est —
     # dedup is a vectorized Min aggregate, not a per-group head(1).
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+    # scrub: the map_groups→aggregate chain emits schema-less zero-row
+    # blocks that poison any downstream join (see scrub_empty_blocks).
+    from ..stages.partitioning import scrub_empty_blocks
+
+    return scrub_empty_blocks(pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("est_jaccard", alias_name="est_jaccard")
-    )
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -511,9 +515,13 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, bands: int = 4,
     # dedup is a vectorized Min aggregate, not a per-group Python callback.
     from ray.data.aggregate import Min
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+    from ..stages.partitioning import scrub_empty_blocks
+
+    # scrub: see scrub_empty_blocks — this chain's empty reduce partitions
+    # produce schema-less blocks that crash the component-labeling joins.
+    return scrub_empty_blocks(pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming")
-    )
+    ))
 
 
 def simhash_neardup_sql(table: str, max_hamming: int = 3,
@@ -613,7 +621,12 @@ def neardup_components_distributed(pairs_ds, a_col: str = "doc_a",
         b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"v": np.concatenate([a, b]), "u": np.concatenate([b, a])})
 
-    edges = pairs_ds.map_batches(_sym, batch_format="pyarrow").materialize()
+    # scrub, not a plain materialize: upstream pair producers can carry
+    # schema-less zero-row blocks that bypass _sym and poison the
+    # label-propagation joins below (see scrub_empty_blocks).
+    from ..stages.partitioning import scrub_empty_blocks
+
+    edges = scrub_empty_blocks(pairs_ds.map_batches(_sym, batch_format="pyarrow"))
     if edges.count() == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                              "component": pd.Series([], dtype=np.int64)})
@@ -648,9 +661,22 @@ def neardup_components_distributed(pairs_ds, a_col: str = "doc_a",
         ).map_batches(lambda t: t.select(["v", "lab"]), batch_format="pyarrow")
         labels = neigh.union(labels).groupby("v", num_partitions=nparts).aggregate(
             Min("lab", alias_name="lab")
-        ).materialize()  # consumed twice by the self-join below
-        # Pointer jumping: lab(v) <- lab(lab(v)). Inner join is lossless
-        # here — every lab is a vertex id, and every vertex has a label row.
+        ).materialize()
+        # Convergence is decided on the min-step ALONE: an unchanged sum here
+        # means lab(v) = min(lab(v), min_N(v) lab) for every v — the
+        # propagation fixpoint. Checking BEFORE the pointer jump saves the
+        # jump's join on the final round; for near-clique dup graphs (the
+        # common case, converged after init) the loop then costs one join +
+        # one groupby total.
+        new_sum = _label_sum(labels)
+        if new_sum == cur_sum:
+            converged = True
+            break
+        cur_sum = new_sum
+        # Pointer jumping (accelerator only): lab(v) <- lab(lab(v)). Inner
+        # join is lossless here — every lab is a vertex id, and every vertex
+        # has a label row. Runs only while still converging, giving
+        # O(log diameter) rounds on deep chains.
         labels = labels.join(
             labels.map_batches(
                 lambda t: t.rename_columns(["w", "lab2"]), batch_format="pyarrow"
@@ -661,11 +687,7 @@ def neardup_components_distributed(pairs_ds, a_col: str = "doc_a",
                                 "lab": pc.min_element_wise(t["lab"], t["lab2"])}),
             batch_format="pyarrow",
         ).materialize()
-        new_sum = _label_sum(labels)
-        if new_sum == cur_sum:
-            converged = True
-            break
-        cur_sum = new_sum
+        cur_sum = _label_sum(labels)
 
     if not converged:
         raise RuntimeError(

@@ -307,7 +307,13 @@ def embed_neardup_lsh(ds, tau: float = 0.4, n_tables: int = 24, bits: int = 5,
 
         # A pair found in k tables appears k times with an identical cos —
         # dedup is a vectorized Min aggregate, not a per-group Python callback.
-        return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("cos", alias_name="cos"))
+        # scrub: map_groups→aggregate chains emit schema-less zero-row blocks
+        # that poison downstream joins (see scrub_empty_blocks).
+        from ..stages.partitioning import scrub_empty_blocks
+
+        return scrub_empty_blocks(
+            pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("cos", alias_name="cos"))
+        )
 
     # ---- join path: no resident corpus replica anywhere ----
     sigs = sigs.materialize()  # feeds the prefilter AND the pair stage
@@ -356,8 +362,15 @@ def embed_neardup_lsh(ds, tau: float = 0.4, n_tables: int = 24, bits: int = 5,
 
     id_pairs = grouped_batch_map(cand, ["tab", "key"], _bucket_id_pairs)
     nparts = pick_partitions(id_pairs, ds)
-    uniq = id_pairs.groupby(["doc_a", "doc_b"], num_partitions=nparts).aggregate(
-        Count(alias_name="__c")
+    from ..stages.partitioning import scrub_empty_blocks
+
+    # scrub BEFORE the vector joins: the map_groups→aggregate chain emits
+    # schema-less zero-row blocks that bypass the select below and crash
+    # the pyarrow hash join (see scrub_empty_blocks).
+    uniq = scrub_empty_blocks(
+        id_pairs.groupby(["doc_a", "doc_b"], num_partitions=nparts).aggregate(
+            Count(alias_name="__c")
+        )
     ).map_batches(lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
 
     # Ray's hash join rejects list-typed payloads: ship each quantized

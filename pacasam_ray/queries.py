@@ -1531,24 +1531,37 @@ def q_minhash_dedup(sf_dir: str):
 
     def _fp_map(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t["doc_id"], value_set=pair_ids))
-        fps = pa.array([hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()])
-        return pa.table({"doc_id": t["doc_id"], "fp": fps})
+        fps = np.array([int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+                        for x in t["text"].to_pylist()], dtype=np.int64)
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(fps)})
 
-    # Exact verification as a distributed hash join (pairs ⋈ fp on each
-    # side), not a driver-side dict probe — candidate sets with billions of
-    # pairs never land on one machine.
+    # Exact verification as ONE distributed hash join, not a driver-side
+    # dict probe — candidate sets with billions of pairs never land on one
+    # machine. The pair table is STACKED to (doc_a, doc_b, probe) with one
+    # row per side, joined against the 60-bit int fingerprints once, then a
+    # (doc_a, doc_b) Min/Max groupby keeps pairs whose two fps agree: one
+    # join + one groupby instead of two joins, and the fingerprint scan of
+    # the corpus runs once instead of once per side.
     fp = docs.map_batches(_fp_map, batch_format="pyarrow")
     nparts = pick_partitions(pairs, fp)
-    fa = fp.map_batches(lambda t: t.rename_columns(["ida", "fp_a"]),
-                        batch_format="pyarrow")
-    fb = fp.map_batches(lambda t: t.rename_columns(["idb", "fp_b"]),
-                        batch_format="pyarrow")
-    verified = pairs.join(
-        fa, join_type="inner", num_partitions=nparts, on=("doc_a",), right_on=("ida",)
-    ).join(
-        fb, join_type="inner", num_partitions=nparts, on=("doc_b",), right_on=("idb",)
+
+    def _stack(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_a": np.concatenate([a, a]),
+                         "doc_b": np.concatenate([b, b]),
+                         "probe": np.concatenate([a, b])})
+
+    from ray.data.aggregate import Max, Min
+
+    joined = pairs.map_batches(_stack, batch_format="pyarrow").join(
+        fp, join_type="inner", num_partitions=nparts,
+        on=("probe",), right_on=("doc_id",),
+    )
+    verified = joined.groupby(["doc_a", "doc_b"], num_partitions=nparts).aggregate(
+        Min("fp", alias_name="fp_min"), Max("fp", alias_name="fp_max")
     ).map_batches(
-        lambda t: t.filter(pc.equal(t["fp_a"], t["fp_b"])).select(["doc_a", "doc_b"]),
+        lambda t: t.filter(pc.equal(t["fp_min"], t["fp_max"])).select(["doc_a", "doc_b"]),
         batch_format="pyarrow",
     )
     comps = neardup_components_distributed(verified)

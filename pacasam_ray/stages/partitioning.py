@@ -71,6 +71,51 @@ def pick_partitions(
     return max(lo, min(hi, -(-est_bytes // target_bytes)))
 
 
+def scrub_empty_blocks(ds):
+    """Drop zero-row blocks from a Dataset (materializing it) and return an
+    Arrow-block rebuild.
+
+    Why this exists: ``groupby(...).map_groups`` / hash-aggregate over
+    pandas-block input emits zero-row blocks for empty reduce partitions,
+    and some of them carry NO columns at all (observed: 44 of 64 blocks
+    after a ``map_groups`` → ``Min`` chain at sf0.01). Zero-row blocks
+    BYPASS every downstream ``map_batches`` UDF, so they cannot be
+    re-schema'd in-stream, and when one lands in a hash-join partition the
+    pyarrow join dies with ``No match ... for key field reference``.
+    Any map_groups/aggregate output that later feeds a join must pass
+    through here. Blocks are converted to Arrow by small remote tasks (no
+    driver pull); non-empty data is never copied through the driver.
+    """
+    import pandas as _pd
+    import pyarrow as _pa
+    import ray as _ray
+
+    mat = ds.materialize()
+
+    @_ray.remote
+    def _to_arrow(b):
+        if isinstance(b, _pd.DataFrame):
+            return _pa.Table.from_pandas(b, preserve_index=False)
+        return b
+
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(_to_arrow.remote(ref))
+    if not refs:
+        # keep ONE empty block so the dataset retains a usable schema;
+        # pick any correctly-columned one if present
+        for bundle in mat.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                b = _ray.get(ref)
+                cols = list(b.columns) if isinstance(b, _pd.DataFrame) else b.column_names
+                if cols:
+                    return _ray.data.from_arrow_refs([_to_arrow.remote(ref)])
+        return mat
+    return _ray.data.from_arrow_refs(refs)
+
+
 _FNV_PRIME = 1099511628211
 
 

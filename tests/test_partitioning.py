@@ -106,6 +106,52 @@ def test_grouped_batch_map_one_callback_per_bucket():
     assert int(out["n_rows"].sum()) == n_groups * rows_per
 
 
+def test_scrub_empty_blocks_drops_schema_less_poison():
+    """groupby.map_groups / hash-aggregate chains emit zero-row blocks that
+    can carry NO columns; those bypass map_batches UDFs and crash pyarrow
+    hash joins. scrub_empty_blocks must remove every zero-row block and
+    preserve the data exactly."""
+    import numpy as np
+    import ray.data
+
+    from pacasam_ray.stages.partitioning import scrub_empty_blocks
+
+    good = pd.DataFrame({"k": np.arange(5, dtype=np.int64),
+                         "v": np.arange(5, dtype=np.int64) * 10})
+    poison = pd.DataFrame()  # zero rows, zero columns
+    ds = ray.data.from_pandas(good).union(ray.data.from_pandas(poison))
+    clean = scrub_empty_blocks(ds)
+
+    for bundle in clean.iter_internal_ref_bundles():
+        for _ref, meta in bundle.blocks:
+            assert meta.num_rows > 0, "scrub left a zero-row block"
+
+    # the cleaned dataset joins fine and the data survived intact
+    right = clean.map_batches(
+        lambda t: t.rename_columns(["w", "v2"]), batch_format="pyarrow"
+    )
+    j = clean.join(right, join_type="inner", num_partitions=2,
+                   on=("k",), right_on=("w",)).to_pandas()
+    assert sorted(j["k"]) == list(range(5))
+    assert sorted(j["v"]) == sorted(j["v2"])
+
+
+def test_neardup_pair_producers_emit_no_empty_blocks():
+    """The simhash/minhash pair pipelines end in map_groups→Min chains that
+    used to leak schema-less empty blocks into the component-labeling joins
+    (observed crash: 'No match ... FieldRef.Name(lab)' at sf0.01). Their
+    outputs must be scrubbed at the source."""
+    from pacasam_ray.functions.dedup import simhash_neardup_pairs
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = simhash_neardup_pairs(docs, max_hamming=3)
+    for bundle in pairs.materialize().iter_internal_ref_bundles():
+        for _ref, meta in bundle.blocks:
+            assert meta.num_rows > 0, "pair producer leaked a zero-row block"
+
+
 def test_grouped_topk_high_cardinality_matches_pandas():
     import numpy as np
     import pandas as pd
