@@ -124,10 +124,19 @@ def ngram_jaccard_pairs(ds, n: int = 3, tau: float = 0.5,
     from ray.data.aggregate import Count
 
     # `grams` feeds four branches (two join sides + two size aggregates);
-    # checkpoint it once instead of re-running the explode per branch. (The
-    # 100 TB equivalent is a parquet checkpoint; in-memory materialize is the
-    # single-node stand-in.)
-    grams = explode_ngrams(ds, n=n, text_col=text_col, id_col=id_col).materialize()
+    # checkpoint it once instead of re-running the explode per branch. Small
+    # gram tables pin in the object store; past the spill threshold the index
+    # goes to partitioned parquet (the 100 TB path). The explode EXPANDS text
+    # ~n× (each token lands in n grams), which the metadata estimate cannot
+    # see, so the corrected estimate is passed explicitly.
+    from ..stages.partitioning import checkpoint, estimated_size_bytes
+
+    src_est = estimated_size_bytes(ds)
+    grams = checkpoint(
+        explode_ngrams(ds, n=n, text_col=text_col, id_col=id_col),
+        tag="grams",
+        est_bytes=None if src_est is None else (n + 1) * src_est,
+    )
 
     if max_doc_freq is not None:
         # Identify hot grams with one count-shuffle, then broadcast the hot
@@ -148,7 +157,11 @@ def ngram_jaccard_pairs(ds, n: int = 3, tau: float = 0.5,
                     pc.invert(pc.is_in(t["gram"], value_set=_ray.get(hot_ref)))
                 )
 
-            grams = grams.map_batches(_drop_hot, batch_format="pyarrow").materialize()
+            grams = checkpoint(
+                grams.map_batches(_drop_hot, batch_format="pyarrow"),
+                tag="grams_capped",
+                est_bytes=None if src_est is None else (n + 1) * src_est,
+            )
 
     def _as(name):
         def _f(t: pa.Table) -> pa.Table:

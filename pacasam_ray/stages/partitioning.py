@@ -71,6 +71,42 @@ def pick_partitions(
     return max(lo, min(hi, -(-est_bytes // target_bytes)))
 
 
+# Above this estimated size a multi-consumer intermediate is checkpointed to
+# parquet instead of pinned in the object store. Env-overridable so tests can
+# force the spill path (GRAFT_CHECKPOINT_SPILL_BYTES=0).
+CHECKPOINT_SPILL_BYTES = 8 * 1024 ** 3
+
+
+def checkpoint(ds, tag: str, est_bytes: int | None = None,
+               spill_threshold_bytes: int | None = None):
+    """Materialize a Dataset consumed by several downstream branches.
+
+    Small intermediates pin in the object store (``materialize()``); above
+    ``spill_threshold_bytes`` the blocks are written to partitioned parquet
+    under /tmp and re-read lazily, so a 100 TB-scale intermediate (e.g. the
+    n-gram inverted index, which is ~n× the corpus text) spills to disk once
+    instead of occupying object-store memory for the whole pipeline, and a
+    re-run can reuse the spill. ``est_bytes`` lets the caller correct the
+    metadata estimate when the op EXPANDS data (explodes), which the
+    lineage-walk upper bound cannot see.
+    """
+    import os
+    import tempfile
+
+    import ray as _ray
+
+    if spill_threshold_bytes is None:
+        spill_threshold_bytes = int(os.environ.get(
+            "GRAFT_CHECKPOINT_SPILL_BYTES", str(CHECKPOINT_SPILL_BYTES)
+        ))
+    est = est_bytes if est_bytes is not None else estimated_size_bytes(ds)
+    if est is not None and est > spill_threshold_bytes:
+        path = tempfile.mkdtemp(prefix=f"pacasam_ckpt_{tag}_", dir="/tmp")
+        ds.write_parquet(path)
+        return _ray.data.read_parquet(path)
+    return ds.materialize()
+
+
 def scrub_empty_blocks(ds):
     """Drop zero-row blocks from a Dataset (materializing it) and return an
     Arrow-block rebuild.

@@ -152,6 +152,52 @@ def test_neardup_pair_producers_emit_no_empty_blocks():
             assert meta.num_rows > 0, "pair producer leaked a zero-row block"
 
 
+def test_checkpoint_spills_to_parquet_above_threshold(tmp_path):
+    """Multi-consumer intermediates pin in the object store when small and
+    spill to partitioned parquet above the threshold; both paths must return
+    the same rows and the spill path must actually write files."""
+    import glob
+
+    from pacasam_ray.stages.partitioning import checkpoint
+
+    df = pd.DataFrame({"k": range(100), "v": [i * 3 for i in range(100)]})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    pinned = checkpoint(ds, tag="t", est_bytes=10, spill_threshold_bytes=1 << 40)
+    spilled = checkpoint(ds, tag="t", est_bytes=10, spill_threshold_bytes=0)
+
+    a = pinned.to_pandas().sort_values("k").reset_index(drop=True)
+    b = spilled.to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert glob.glob("/tmp/pacasam_ckpt_t_*/*.parquet"), "spill wrote no files"
+
+
+def test_ngram_jaccard_identical_through_spill_checkpoint(monkeypatch):
+    """Force the gram-index checkpoint onto the parquet spill path (the
+    100 TB configuration) and require bit-identical join output, capped and
+    uncapped."""
+    from pacasam_ray.functions.dedup import ngram_jaccard_pairs
+
+    def run():
+        ds = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        exact = ngram_jaccard_pairs(ds, n=3, tau=0.5).to_pandas()
+        capped = ngram_jaccard_pairs(ds, n=3, tau=0.5, max_doc_freq=50).to_pandas()
+        key = ["doc_a", "doc_b"]
+        return (exact.sort_values(key).reset_index(drop=True),
+                capped.sort_values(key).reset_index(drop=True))
+
+    monkeypatch.delenv("GRAFT_CHECKPOINT_SPILL_BYTES", raising=False)
+    exact_mem, capped_mem = run()
+    monkeypatch.setenv("GRAFT_CHECKPOINT_SPILL_BYTES", "0")
+    exact_spill, capped_spill = run()
+
+    pd.testing.assert_frame_equal(exact_mem, exact_spill)
+    pd.testing.assert_frame_equal(capped_mem, capped_spill)
+    assert len(exact_mem) > 0
+
+
 def test_grouped_topk_high_cardinality_matches_pandas():
     import numpy as np
     import pandas as pd
