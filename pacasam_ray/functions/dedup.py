@@ -817,3 +817,89 @@ SELECT {alpha_num!r} / CAST(SUM(CAST(1 AS BIGINT) << ({b + 1} - m)) AS DOUBLE)
        AS distinct_est
 FROM full_regs
 """
+
+
+def _hll_rho(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register index j, rank rho) for pre-hashed int64 values — the
+    shared kernel of the global and grouped HLL sketches."""
+    j = v % HLL_M
+    rest = v // HLL_M
+    bl = np.zeros(len(v), dtype=np.int64)
+    x = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.int64(1) << shift)
+        bl[big] += shift
+        x[big] >>= shift
+    bl[rest > 0] += 1
+    return j, (HLL_REST_BITS + 1) - bl
+
+
+def grouped_distinct_hll(ds, group_col: str, col: str):
+    """Per-group HLL distinct-count sketch, fully distributed.
+
+    Per batch, SPARSE (group, register, max-rho) rows — at most m=64 rows
+    per group per block — cross ONE (group, j) Max shuffle; a second tiny
+    per-group Sum/Count aggregate yields the exact-integer register sum,
+    and the estimate is one IEEE division of exact ints (empty registers
+    enter as (m − #present)·2^(B+1), so nothing materializes dense
+    registers anywhere). No per-group Python callback at any stage, so
+    10^8 groups cost two hash shuffles of ≤ 64·groups tiny rows.
+    ``grouped_distinct_hll_sql`` generates the bit-exact DuckDB twin.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count, Max, Sum
+
+    b = HLL_REST_BITS
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({group_col: df[group_col],
+                                 "j": pd.Series([], dtype=np.int64),
+                                 "m": pd.Series([], dtype=np.int64)})
+        v = np.array([md5_int(str(x)) for x in df[col]], dtype=np.int64)
+        j, rho = _hll_rho(v)
+        out = pd.DataFrame({group_col: df[group_col].to_numpy(), "j": j, "m": rho})
+        return out.groupby([group_col, "j"], sort=False, as_index=False)["m"].max()
+
+    regs = ds.map_batches(_partial, batch_format="pandas") \
+             .groupby([group_col, "j"]).aggregate(Max("m", alias_name="m"))
+
+    def _weights(df: pd.DataFrame) -> pd.DataFrame:
+        df["w"] = np.int64(1) << (b + 1 - df["m"].to_numpy())
+        return df[[group_col, "w"]]
+
+    agg = regs.map_batches(_weights, batch_format="pandas") \
+              .groupby(group_col) \
+              .aggregate(Sum("w", alias_name="sp"), Count(alias_name="npres"))
+
+    alpha_num = HLL_ALPHA * HLL_M * HLL_M * float(1 << (b + 1))
+
+    def _estimate(df: pd.DataFrame) -> pd.DataFrame:
+        s = ((np.int64(HLL_M) - df["npres"].to_numpy()) * (np.int64(1) << (b + 1))
+             + df["sp"].to_numpy())
+        df["distinct_est"] = alpha_num / s.astype(np.float64)
+        return df[[group_col, "distinct_est"]]
+
+    return agg.map_batches(_estimate, batch_format="pandas")
+
+
+def grouped_distinct_hll_sql(table: str, group_col: str, col_expr: str) -> str:
+    v = md5_int_sql(col_expr)
+    b = HLL_REST_BITS
+    rho_cases = " ".join(
+        f"WHEN rest >= {1 << (b - k)} THEN {k}" for k in range(1, b + 1)
+    )
+    alpha_num = HLL_ALPHA * HLL_M * HLL_M * float(1 << (b + 1))
+    return f"""
+WITH h AS (SELECT {group_col} AS g, {v} AS v FROM {table}),
+jr AS (SELECT g, v % {HLL_M} AS j, v // {HLL_M} AS rest FROM h),
+rho AS (SELECT g, j, CASE {rho_cases} ELSE {b + 1} END AS r FROM jr),
+regs AS (SELECT g, j, MAX(r) AS m FROM rho GROUP BY g, j),
+agg AS (SELECT g, COUNT(*) AS npres,
+               SUM(CAST(1 AS BIGINT) << ({b + 1} - m)) AS sp
+        FROM regs GROUP BY g)
+SELECT g AS {group_col},
+       {alpha_num!r} / CAST(({HLL_M} - npres) * (CAST(1 AS BIGINT) << {b + 1})
+                            + sp AS DOUBLE) AS distinct_est
+FROM agg
+"""

@@ -1685,6 +1685,400 @@ def q_image_decode(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Round-3 engine additions: windowed LAG, grouped exact median, range join,
+# bloom semi/anti membership, corpus-frequency scoring, substring dedup
+# ---------------------------------------------------------------------------
+
+def q_events_lag(sf_dir: str):
+    """Windowed LAG: each event's gap (µs) to the same user's previous
+    event (NULL on the user's first). Users co-locate by hash bucket
+    (`grouped_batch_map`); each ~256 MiB partition computes every gap in
+    ONE vectorized pass (sort + np.diff) — one callback per partition,
+    not per user, the same 10^8-user scaling shape as sessionization."""
+    from .stages.partitioning import grouped_batch_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def _lag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        gap = np.empty(len(df), dtype=np.float64)
+        if len(df):
+            gap[0] = np.nan
+            gap[1:] = np.where(uid[1:] != uid[:-1], np.nan,
+                               (us[1:] - us[:-1]).astype(np.float64))
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": uid, "gap_us": gap})
+
+    return grouped_batch_map(ds, ["user_id"], _lag)
+
+
+SQL_EVENTS_LAG = """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS gap_us
+FROM events
+"""
+
+
+def q_grouped_median(sf_dir: str):
+    """Exact per-group median (discrete k-th order statistic) of
+    l_extendedprice per part. Groups co-locate by hash bucket; inside each
+    partition one sort + offset gather picks every group's (n-1)//2-th
+    value — vectorized ACROSS groups, no per-group dispatch. Tie-safe:
+    the k-th VALUE is invariant to tie order, so it equals the SQL
+    ROW_NUMBER()/COUNT() window definition."""
+    from .stages.partitioning import grouped_batch_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    )
+
+    def _medians(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["l_partkey", "l_extendedprice"],
+                            kind="mergesort").reset_index(drop=True)
+        key = df["l_partkey"].to_numpy()
+        first = np.flatnonzero(np.r_[True, key[1:] != key[:-1]]) \
+            if len(df) else np.array([], dtype=np.int64)
+        sizes = np.diff(np.append(first, len(df)))
+        take = first + (sizes - 1) // 2
+        return pd.DataFrame({
+            "l_partkey": key[first],
+            "median_price": df["l_extendedprice"].to_numpy()[take],
+            "n_items": sizes.astype(np.int64),
+        })
+
+    return grouped_batch_map(ds, ["l_partkey"], _medians)
+
+
+SQL_GROUPED_MEDIAN = """
+SELECT l_partkey, median_price, n_items FROM (
+  SELECT l_partkey, l_extendedprice AS median_price,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS n_items
+  FROM lineitem) t
+WHERE rn = (n_items - 1) // 2 + 1
+"""
+
+
+# Non-uniform [lo, hi) price bands: a genuine interval join, not a
+# divide-by-width bucketing.
+PRICE_BANDS = (0.0, 2000.0, 5000.0, 10000.0, 20000.0, 40000.0,
+               80000.0, 120000.0)
+
+
+def q_range_join(sf_dir: str):
+    """Range (interval) join: lineitem prices against a small static table
+    of sorted non-overlapping [lo, hi) bands. The band table is broadcast
+    and probed with ONE np.searchsorted per batch — O(rows·log bands),
+    zero shuffle; the idiomatic Ray Data shape for small-side interval
+    joins (the reference's closest-match join uses the same probe,
+    stages/asof.py). Per-band aggregates keep the result driver-small."""
+    from ray.data.aggregate import Count, Sum
+
+    bounds = np.asarray(PRICE_BANDS)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice", "l_quantity"]
+    )
+
+    def _probe(t: pa.Table) -> pa.Table:
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        band = np.searchsorted(bounds, p, side="right") - 1
+        ok = (band >= 0) & (band < len(bounds) - 1)
+        return pa.table({
+            "band": pa.array(band[ok], type=pa.int64()),
+            "qty": pa.array(t["l_quantity"].to_numpy(zero_copy_only=False)[ok]),
+        })
+
+    agg = ds.map_batches(_probe, batch_format="pyarrow").groupby("band") \
+            .aggregate(Count(alias_name="n"), Sum("qty", alias_name="sum_qty"))
+
+    def _bounds(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["band"].to_numpy()
+        df["lo"] = bounds[b]
+        df["hi"] = bounds[b + 1]
+        return df[["band", "lo", "hi", "n", "sum_qty"]]
+
+    return agg.map_batches(_bounds, batch_format="pandas")
+
+
+def _sql_range_join() -> str:
+    rows = ", ".join(
+        f"({i}, {PRICE_BANDS[i]!r}, {PRICE_BANDS[i + 1]!r})"
+        for i in range(len(PRICE_BANDS) - 1)
+    )
+    return f"""
+WITH bands(band, lo, hi) AS (VALUES {rows})
+SELECT CAST(band AS BIGINT) AS band, lo, hi, COUNT(*) AS n,
+       SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN bands
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band, lo, hi
+"""
+
+
+HIGH_ORDER_PRICE = 400_000.0
+
+
+def q_semi_join(sf_dir: str):
+    """Semi join (EXISTS): lineitem rows of high-value orders, aggregated
+    per returnflag. The qualifying key set is filter-pruned AT THE READ
+    (predicate pushdown), broadcast once, and probed with a sorted-array
+    searchsorted per batch — membership, not a shuffle join. SUM over
+    integral-valued doubles is order-invariant ⇒ exact."""
+    from ray.data.aggregate import Count, Sum
+
+    keys = np.sort(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        ).filter(expr=f"o_totalprice > {HIGH_ORDER_PRICE}")
+        .select_columns(["o_orderkey"]).to_pandas()["o_orderkey"]
+        .to_numpy().astype(np.int64)
+    )
+    keys_ref = ray.put(keys)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_quantity"],
+    )
+
+    def _semi(t: pa.Table) -> pa.Table:
+        ex = ray.get(keys_ref)
+        kk = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ex, kk)
+        hit = (pos < len(ex)) & (ex[np.minimum(pos, len(ex) - 1)] == kk)
+        return t.filter(pa.array(hit))
+
+    return ds.map_batches(_semi, batch_format="pyarrow") \
+             .groupby("l_returnflag") \
+             .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+
+
+SQL_SEMI_JOIN = f"""
+SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_totalprice > {HIGH_ORDER_PRICE})
+GROUP BY l_returnflag
+"""
+
+
+def q_bloom_anti_join(sf_dir: str):
+    """Anti join via Bloom prefilter (stages/bloom.py): the build side's
+    keys fold into a 128 KiB filter with a per-block partial-OR combiner +
+    tree reduce; the probe side keeps Bloom NEGATIVES with zero further
+    work and exact-checks only the maybe-positive tail — so at corpus
+    scale the big side never shuffles. Result is EXACT (same oracle shape
+    as a NOT EXISTS); pytest separately bounds the false-positive tail."""
+    from ray.data.aggregate import Count, Sum
+
+    from .stages.bloom import bloom_anti_join
+
+    high = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).filter(expr=f"o_totalprice > {HIGH_ORDER_PRICE}") \
+     .select_columns(["o_orderkey"])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_quantity"],
+    )
+    kept = bloom_anti_join(ds, "l_orderkey", high, "o_orderkey")
+    return kept.groupby("l_returnflag") \
+               .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+
+
+SQL_BLOOM_ANTI_JOIN = f"""
+SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_totalprice > {HIGH_ORDER_PRICE})
+GROUP BY l_returnflag
+"""
+
+
+def q_doc_rarity(sf_dir: str):
+    """Corpus-frequency document scoring (the unigram-LM quality signal of
+    web-corpus pipelines, integer-exact variant): global term counts via a
+    per-batch combiner + Sum groupby; counts hash-joined back to the
+    per-(doc, term) multiplicity table; per-doc totals are exact int64
+    sums and the score is ONE IEEE division of those ints, so the oracle
+    reproduces it bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir)
+
+    def _doc_terms(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        tb = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                       "term": pc.list_flatten(toks)})
+        out = pa.TableGroupBy(tb, ["doc_id", "term"]).aggregate([([], "count_all")])
+        return out.rename_columns(["doc_id", "term", "m"])
+
+    pairs = docs.map_batches(_doc_terms, batch_format="pyarrow")
+
+    def _local_counts(t: pa.Table) -> pa.Table:
+        vc = pa.TableGroupBy(
+            pa.table({"term": t["term"], "m": t["m"]}), "term"
+        ).aggregate([("m", "sum")])
+        return vc.rename_columns(["term", "n"])
+
+    # combiner keyed on the exploded pairs: one row per distinct term per
+    # block crosses the shuffle, never one per token
+    totals = pairs.map_batches(
+        lambda t: _local_counts(t), batch_format="pyarrow"
+    ).groupby("term").aggregate(Sum("n", alias_name="n"))
+
+    joined = pairs.join(totals, join_type="inner",
+                        num_partitions=pick_partitions(pairs, totals),
+                        on=("term",))
+
+    def _weights(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "w": pc.multiply(t["m"], t["n"]),
+            "m": t["m"],
+        })
+
+    agg = joined.map_batches(_weights, batch_format="pyarrow") \
+                .groupby("doc_id") \
+                .aggregate(Sum("w", alias_name="freq_sum"),
+                           Sum("m", alias_name="n_tokens"))
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        df["mean_term_freq"] = (df["freq_sum"].to_numpy().astype(np.float64)
+                                / df["n_tokens"].to_numpy().astype(np.float64))
+        return df[["doc_id", "n_tokens", "freq_sum", "mean_term_freq"]]
+
+    return agg.map_batches(_score, batch_format="pandas")
+
+
+SQL_DOC_RARITY = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), c AS (
+  SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(n) AS BIGINT) AS freq_sum,
+       CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_term_freq
+FROM toks JOIN c USING (term)
+GROUP BY doc_id
+"""
+
+
+def q_grouped_hll(sf_dir: str):
+    """Approximate distinct users per event type (grouped HLL sketch):
+    sparse per-batch (group, register, rho) combiner → one (group, j) Max
+    shuffle → per-group exact-integer register sums; estimate is one IEEE
+    division, reproduced bit-for-bit by the generated DuckDB twin. The
+    grouped counterpart of `distinct_hll` — no per-group callback, dense
+    registers never materialize."""
+    from .functions.dedup import grouped_distinct_hll
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return grouped_distinct_hll(ds, "event_type", "user_id")
+
+
+def _sql_grouped_hll() -> str:
+    from .functions.dedup import grouped_distinct_hll_sql
+
+    return grouped_distinct_hll_sql("events", "event_type",
+                                    "CAST(user_id AS VARCHAR)")
+
+
+SUBSTR_W, SUBSTR_S = 40, 20
+
+
+def q_substring_dedup(sf_dir: str):
+    """Windowed exact-substring duplication scoring (the signal behind
+    suffix-array substring dedup, Lee et al. 2022, arXiv:2107.06499,
+    restricted to stride-aligned W-char windows so it is join-expressible):
+    slide W=40-char windows at stride S=20 over each doc, md5 each window
+    (md5 is this engine's cross-engine hashing contract, functions/dedup.py),
+    count global window occurrences with a per-batch combiner, hash-join the
+    counts back, and report per-doc duplicated-window tallies as exact
+    integers. Runs over the corpus with planted exact duplicates so the
+    signal is non-trivial."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    docs = _docs_with_dups(sf_dir)
+
+    def _windows(t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if txt is None or len(txt) < SUBSTR_W:
+                continue
+            for i in range((len(txt) - SUBSTR_W) // SUBSTR_S + 1):
+                w = txt[i * SUBSTR_S: i * SUBSTR_S + SUBSTR_W]
+                ids.append(did)
+                hs.append(hashlib.md5(w.encode()).hexdigest())
+        tb = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                       "h": pa.array(hs, type=pa.string())})
+        out = pa.TableGroupBy(tb, ["doc_id", "h"]).aggregate([([], "count_all")])
+        return out.rename_columns(["doc_id", "h", "m"])
+
+    wins = docs.map_batches(_windows, batch_format="pyarrow")
+
+    def _local(t: pa.Table) -> pa.Table:
+        vc = pa.TableGroupBy(pa.table({"h": t["h"], "m": t["m"]}), "h") \
+               .aggregate([("m", "sum")])
+        return vc.rename_columns(["h", "cnt"])
+
+    counts = wins.map_batches(_local, batch_format="pyarrow") \
+                 .groupby("h").aggregate(Sum("cnt", alias_name="cnt"))
+
+    joined = wins.join(counts, join_type="inner",
+                       num_partitions=pick_partitions(wins, counts),
+                       on=("h",))
+
+    def _tally(t: pa.Table) -> pa.Table:
+        m = t["m"].to_numpy(zero_copy_only=False)
+        dup = np.where(t["cnt"].to_numpy(zero_copy_only=False) >= 2, m, 0)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_windows": pa.array(m, type=pa.int64()),
+                         "n_dup_windows": pa.array(dup, type=pa.int64())})
+
+    return joined.map_batches(_tally, batch_format="pyarrow") \
+                 .groupby("doc_id") \
+                 .aggregate(Sum("n_windows", alias_name="n_windows"),
+                            Sum("n_dup_windows", alias_name="n_dup_windows"))
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH both_ AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + {DUP_OFFSET}, text FROM documents
+), win AS (
+  SELECT doc_id,
+         md5(substr(text, CAST(i * {SUBSTR_S} AS BIGINT) + 1, {SUBSTR_W})) AS h
+  FROM both_,
+       LATERAL unnest(range((length(text) - {SUBSTR_W}) // {SUBSTR_S} + 1)) AS t(i)
+  WHERE length(text) >= {SUBSTR_W}
+), c AS (
+  SELECT h, COUNT(*) AS cnt FROM win GROUP BY h
+)
+SELECT doc_id, COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+FROM win JOIN c USING (h)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sampler pipelines (seeded/iterative — rows-only checks; conformance is
 # asserted by pytest per the reference's own test strategy, SURVEY.md §5)
 # ---------------------------------------------------------------------------
@@ -1766,6 +2160,14 @@ def build_queries() -> dict:
         "media_meta": q_media_meta,
         "frame_sample": q_frame_sample,
         "image_decode": q_image_decode,
+        "events_lag": q_events_lag,
+        "grouped_median": q_grouped_median,
+        "range_join": q_range_join,
+        "semi_join": q_semi_join,
+        "bloom_anti_join": q_bloom_anti_join,
+        "doc_rarity": q_doc_rarity,
+        "substring_dedup": q_substring_dedup,
+        "grouped_hll": q_grouped_hll,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -1831,6 +2233,14 @@ def build_oracle_sql() -> dict:
         "embed_neardup": _sql_embed_neardup(),
         "media_meta": _sql_media_meta(),
         "frame_sample": _sql_frame_sample(),
+        "events_lag": SQL_EVENTS_LAG,
+        "grouped_median": SQL_GROUPED_MEDIAN,
+        "range_join": _sql_range_join(),
+        "semi_join": SQL_SEMI_JOIN,
+        "bloom_anti_join": SQL_BLOOM_ANTI_JOIN,
+        "doc_rarity": SQL_DOC_RARITY,
+        "substring_dedup": SQL_SUBSTRING_DEDUP,
+        "grouped_hll": _sql_grouped_hll(),
     }
 
 

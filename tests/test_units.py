@@ -118,3 +118,43 @@ def test_kth_smallest_value_refinement_and_ties(monkeypatch):
     # a k landing inside the tie block
     k_tie = int(np.searchsorted(ordered, 77.7)) + 700
     assert orderstats.kth_smallest_value(ds, "x", k_tie) == 77.7
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fp():
+    """Members always test maybe-positive (no false negatives — required
+    for anti-join exactness); non-members mostly test negative (the whole
+    point of the prefilter: the big side's definite-miss rows never
+    shuffle). With 10k keys in 2^20 bits / k=4 the theoretical FP rate is
+    ~1e-4; assert a loose 1% ceiling."""
+    from pacasam_ray.stages.bloom import (
+        DEFAULT_K, DEFAULT_M_BITS, bloom_maybe_member, build_bloom_bits,
+    )
+    import ray.data
+
+    members = np.arange(10_000, dtype=np.int64) * 3 + 1
+    ds = ray.data.from_pandas(pd.DataFrame({"k": members})).repartition(8)
+    words = build_bloom_bits(ds, "k")
+
+    got = bloom_maybe_member(members, words, DEFAULT_M_BITS, DEFAULT_K)
+    assert got.all(), "false negative: a member tested absent"
+
+    probes = np.arange(200_000, 400_000, dtype=np.int64)
+    non_members = probes[~np.isin(probes, members)]
+    fp = bloom_maybe_member(non_members, words, DEFAULT_M_BITS, DEFAULT_K)
+    assert fp.mean() < 0.01, f"false-positive rate {fp.mean():.4f}"
+
+
+def test_bloom_anti_join_equals_exact_anti_join():
+    from pacasam_ray.stages.bloom import bloom_anti_join
+    import ray.data
+
+    left = pd.DataFrame({"k": np.arange(5000, dtype=np.int64) % 700,
+                         "v": np.arange(5000, dtype=np.int64)})
+    right = pd.DataFrame({"r": np.arange(0, 700, 3, dtype=np.int64)})
+    lds = ray.data.from_pandas(left).repartition(6)
+    rds = ray.data.from_pandas(right).repartition(3)
+
+    got = bloom_anti_join(lds, "k", rds, "r").to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    want = left[~left["k"].isin(right["r"])].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
