@@ -2079,6 +2079,494 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Round-3 engine additions, batch 2: window functions (rank / rolling frame /
+# ntile), pivot, per-group mode, cross-source membership, distinctive terms,
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def q_rank_window(sf_dir: str):
+    """RANK + ROW_NUMBER per user over value DESC. Users co-locate by hash
+    bucket (`grouped_batch_map`); inside each partition one mergesort +
+    two `np.maximum.accumulate` boundary scans produce every rank —
+    vectorized ACROSS groups, one callback per ~256 MiB partition, the
+    per-group-dispatch-free shape mandated for 10^8-key windows."""
+    from .stages.partitioning import grouped_batch_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value", "event_id"]
+    )
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort").reset_index(drop=True)
+        uid = df["user_id"].to_numpy()
+        val = df["value"].to_numpy()
+        n = len(df)
+        idx = np.arange(n, dtype=np.int64)
+        new_u = np.r_[True, uid[1:] != uid[:-1]] if n else np.array([], bool)
+        new_p = new_u | (np.r_[True, val[1:] != val[:-1]] if n else np.array([], bool))
+        gs = np.maximum.accumulate(np.where(new_u, idx, 0))
+        ps = np.maximum.accumulate(np.where(new_p, idx, 0))
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": uid,
+            "value": val,
+            "rn": idx - gs + 1,
+            "rnk": ps - gs + 1,
+        })
+
+    return grouped_batch_map(ds, ["user_id"], _rank)
+
+
+SQL_RANK_WINDOW = """
+SELECT event_id, user_id, value,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY value DESC, event_id) AS rn,
+       RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk
+FROM events
+"""
+
+
+ROLL_PREC = 3  # window frame: ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+
+
+def q_rolling_window(sf_dir: str):
+    """Rolling-frame window aggregates (ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW) per user ordered by (ts, event_id): MIN/MAX/COUNT of
+    `value`. Min/max are order-invariant so floats stay exact. Inside each
+    hash-bucket partition the frame is computed with 3 shifted-array
+    compares (`np.fmin`/`np.fmax` masked at user boundaries) — O(W·rows)
+    vectorized, no per-group or per-row dispatch."""
+    from .stages.partitioning import grouped_batch_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def _roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        uid = df["user_id"].to_numpy()
+        v = df["value"].to_numpy()
+        mn, mx = v.copy(), v.copy()
+        cnt = np.ones(len(v), dtype=np.int64)
+        for s in range(1, ROLL_PREC + 1):
+            same = np.zeros(len(v), dtype=bool)
+            same[s:] = uid[s:] == uid[:-s]
+            pv = np.empty_like(v)
+            pv[s:] = v[:-s]
+            pv[:s] = np.nan
+            mn = np.where(same, np.fmin(mn, pv), mn)
+            mx = np.where(same, np.fmax(mx, pv), mx)
+            cnt += same
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "roll_min": mn, "roll_max": mx, "roll_n": cnt,
+        })
+
+    return grouped_batch_map(ds, ["user_id"], _roll)
+
+
+SQL_ROLLING_WINDOW = f"""
+SELECT event_id,
+       MIN(value) OVER w AS roll_min,
+       MAX(value) OVER w AS roll_max,
+       COUNT(*)  OVER w AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLL_PREC} PRECEDING AND CURRENT ROW)
+"""
+
+
+NTILE_K = 4
+
+
+def q_ntile(sf_dir: str):
+    """NTILE(4) over the global (n_chars, doc_id) order WITHOUT a global
+    sort shuffle: a shuffle-free per-strata counts scan gives driver-side
+    prefix offsets per distinct n_chars (tiny — one row per distinct
+    value), then each hash-bucket partition stamps global ranks via a
+    sorted-array `searchsorted` against the broadcast offsets + a
+    within-run arange, and the tile is closed-form from the rank. Same
+    offsets-not-sort design as O8 `assign_positions`
+    (samplers/diversity.py:43), but with a partition-level vectorized
+    reduce instead of per-group dispatch."""
+    from .samplers.algos import strata_counts
+    from .stages.partitioning import grouped_batch_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    counts = strata_counts(ds, "n_chars").sort_values("n_chars")
+    vals = counts["n_chars"].to_numpy()
+    offs = np.concatenate([[0], counts["n"].cumsum().to_numpy()[:-1]]).astype(np.int64)
+    total = int(counts["n"].sum())
+    q, rem = divmod(total, NTILE_K)
+    big = rem * (q + 1)
+    side_ref = ray.put((vals, offs))
+
+    def _tile(df: pd.DataFrame) -> pd.DataFrame:
+        vals_b, offs_b = ray.get(side_ref)
+        df = df.sort_values(["n_chars", "doc_id"],
+                            kind="mergesort").reset_index(drop=True)
+        nc = df["n_chars"].to_numpy()
+        idx = np.arange(len(df), dtype=np.int64)
+        new = np.r_[True, nc[1:] != nc[:-1]] if len(df) else np.array([], bool)
+        gs = np.maximum.accumulate(np.where(new, idx, 0))
+        rank = offs_b[np.searchsorted(vals_b, nc)] + (idx - gs)
+        tile = np.where(rank < big, rank // (q + 1),
+                        rem + (rank - big) // max(q, 1)) + 1
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "n_chars": nc, "tile": tile.astype(np.int64)})
+
+    return grouped_batch_map(ds, ["n_chars"], _tile)
+
+
+SQL_NTILE = f"""
+SELECT doc_id, n_chars,
+       NTILE({NTILE_K}) OVER (ORDER BY n_chars, doc_id) AS tile
+FROM documents
+"""
+
+
+def q_pivot(sf_dir: str):
+    """Pivot / conditional aggregation: order counts per priority spread
+    across one column per status. The pivot happens IN the per-batch
+    combiner (three boolean-mask sums per priority), so a single Sum
+    groupby over ~|priorities| tiny rows per block finishes it — no
+    second reduce, no per-group callback, exact ints."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderstatus"]
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        st = df["o_orderstatus"].to_numpy()
+        out = pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"].to_numpy(),
+            "n_open": (st == "O").astype(np.int64),
+            "n_finished": (st == "F").astype(np.int64),
+            "n_pending": (st == "P").astype(np.int64),
+            "n_total": np.ones(len(df), dtype=np.int64),
+        })
+        return out.groupby("o_orderpriority", sort=False, as_index=False).sum()
+
+    return ds.map_batches(_partial, batch_format="pandas") \
+             .groupby("o_orderpriority") \
+             .aggregate(Sum("n_open", alias_name="n_open"),
+                        Sum("n_finished", alias_name="n_finished"),
+                        Sum("n_pending", alias_name="n_pending"),
+                        Sum("n_total", alias_name="n_total"))
+
+
+SQL_PIVOT = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+       COUNT(*) AS n_total
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_mode_flag(sf_dir: str):
+    """Per-group MODE (most frequent value, ties → lexicographically
+    smallest): counts per (partkey, flag) via a per-batch combiner + Sum
+    groupby (≤ |flags| rows per key per block cross the shuffle), then the
+    arg-max per key is one vectorized sort + first-row-per-run inside each
+    hash-bucket partition — the same no-per-group-dispatch reduce as
+    `grouped_topk`."""
+    from ray.data.aggregate import Sum
+
+    from .stages.partitioning import grouped_batch_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_returnflag"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vc = pa.TableGroupBy(t, ["l_partkey", "l_returnflag"]).aggregate(
+            [([], "count_all")]
+        )
+        return vc.rename_columns(["l_partkey", "l_returnflag", "cnt"])
+
+    counts = ds.map_batches(_partial, batch_format="pyarrow") \
+               .groupby(["l_partkey", "l_returnflag"]) \
+               .aggregate(Sum("cnt", alias_name="cnt"))
+
+    def _argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["l_partkey", "cnt", "l_returnflag"],
+                            ascending=[True, False, True],
+                            kind="mergesort").reset_index(drop=True)
+        key = df["l_partkey"].to_numpy()
+        first = np.flatnonzero(np.r_[True, key[1:] != key[:-1]]) \
+            if len(df) else np.array([], dtype=np.int64)
+        return pd.DataFrame({
+            "l_partkey": key[first],
+            "mode_flag": df["l_returnflag"].to_numpy()[first],
+            "mode_count": df["cnt"].to_numpy()[first].astype(np.int64),
+        })
+
+    return grouped_batch_map(counts, ["l_partkey"], _argmax)
+
+
+SQL_MODE_FLAG = """
+WITH c AS (
+  SELECT l_partkey, l_returnflag, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey, l_returnflag
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                               ORDER BY cnt DESC, l_returnflag) AS rn
+  FROM c
+)
+SELECT l_partkey, l_returnflag AS mode_flag, CAST(cnt AS BIGINT) AS mode_count
+FROM r WHERE rn = 1
+"""
+
+
+CROSS_SRC_MOD = 3  # every 3rd doc gets a synthetic second-source copy
+
+
+def q_cross_source(sf_dir: str):
+    """Set-membership across partitions: text fingerprints that appear in
+    ≥2 distinct sources (the cross-source-contamination report of corpus
+    curation). One third of the docs get a synthetic second-source copy so
+    the answer is non-trivial both ways. Local-distinct (fingerprint,
+    source) pairs per batch → one pair-dedup Count groupby → a per-batch
+    count-per-fingerprint combiner → a tiny Sum groupby + filter; no
+    COUNT(DISTINCT) reduce ever sees raw rows."""
+    from ray.data.aggregate import Count, Sum
+
+    from .functions.dedup import md5_int
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def _second_source(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % CROSS_SRC_MOD == 0))
+        return pa.table({
+            "doc_id": sub["doc_id"], "text": sub["text"],
+            "source": pa.array(["dup_feed"] * sub.num_rows, type=pa.string()),
+        })
+
+    both = docs.union(docs.map_batches(_second_source, batch_format="pyarrow"))
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        fp = np.array([md5_int(x) for x in t["text"].to_pylist()], dtype=np.int64)
+        tb = pa.table({"fingerprint": pa.array(fp), "source": t["source"]})
+        vc = pa.TableGroupBy(tb, ["fingerprint", "source"]).aggregate([([], "count_all")])
+        return vc.select(["fingerprint", "source"])
+
+    pairs = both.map_batches(_pairs, batch_format="pyarrow") \
+                .groupby(["fingerprint", "source"]) \
+                .aggregate(Count(alias_name="c"))
+
+    def _local(t: pa.Table) -> pa.Table:
+        vc = pa.TableGroupBy(t.select(["fingerprint"]), "fingerprint") \
+               .aggregate([([], "count_all")])
+        return vc.rename_columns(["fingerprint", "ns"])
+
+    return pairs.map_batches(_local, batch_format="pyarrow") \
+                .groupby("fingerprint").aggregate(Sum("ns", alias_name="n_sources")) \
+                .filter(expr="n_sources >= 2")
+
+
+def _sql_cross_source() -> str:
+    from .functions.dedup import md5_int_sql
+
+    return f"""
+WITH both_ AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id, text, 'dup_feed' FROM documents WHERE doc_id % {CROSS_SRC_MOD} = 0
+), p AS (
+  SELECT DISTINCT {md5_int_sql('text')} AS fingerprint, source FROM both_
+)
+SELECT fingerprint, COUNT(*) AS n_sources
+FROM p GROUP BY fingerprint HAVING COUNT(*) >= 2
+"""
+
+
+def q_distinctive_terms(sf_dir: str):
+    """Most distinctive term per document, ranked by (tf DESC, df ASC,
+    term) — the integer-exact cousin of TF-IDF arg-max (float-free so the
+    oracle is bit-identical). (doc, term, tf) pairs come pre-combined per
+    batch; document frequency is a per-batch count combiner + Sum groupby;
+    counts hash-join back to the pairs and the per-doc arg-max is a
+    partition-level vectorized sort + first-row-per-run."""
+    from ray.data.aggregate import Sum
+
+    from .stages.partitioning import grouped_batch_map
+
+    docs = _docs(sf_dir)
+
+    def _doc_terms(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        tb = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                       "term": pc.list_flatten(toks)})
+        out = pa.TableGroupBy(tb, ["doc_id", "term"]).aggregate([([], "count_all")])
+        return out.rename_columns(["doc_id", "term", "tf"])
+
+    pairs = docs.map_batches(_doc_terms, batch_format="pyarrow")
+
+    def _local_df(t: pa.Table) -> pa.Table:
+        vc = pa.TableGroupBy(t.select(["term"]), "term").aggregate([([], "count_all")])
+        return vc.rename_columns(["term", "d"])
+
+    dfreq = pairs.map_batches(_local_df, batch_format="pyarrow") \
+                 .groupby("term").aggregate(Sum("d", alias_name="df"))
+
+    joined = pairs.join(dfreq, join_type="inner",
+                        num_partitions=pick_partitions(pairs, dfreq),
+                        on=("term",))
+
+    def _argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "tf", "df", "term"],
+                          ascending=[True, False, True, True],
+                          kind="mergesort").reset_index(drop=True)
+        key = g["doc_id"].to_numpy()
+        first = np.flatnonzero(np.r_[True, key[1:] != key[:-1]]) \
+            if len(g) else np.array([], dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": key[first],
+            "top_term": g["term"].to_numpy()[first],
+            "tf": g["tf"].to_numpy()[first].astype(np.int64),
+            "df": g["df"].to_numpy()[first].astype(np.int64),
+        })
+
+    return grouped_batch_map(joined, ["doc_id"], _argmax)
+
+
+SQL_DISTINCTIVE_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), p AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), d AS (
+  SELECT term, COUNT(*) AS df FROM p GROUP BY term
+), r AS (
+  SELECT doc_id, term, tf, df,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, df, term) AS rn
+  FROM p JOIN d USING (term)
+)
+SELECT doc_id, term AS top_term, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df
+FROM r WHERE rn = 1
+"""
+
+
+CONTAM_MOD = 37  # docs with doc_id % 37 == 0 form the "benchmark" set
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination score (the train/test-overlap check every
+    LLM corpus pipeline runs before training): stride-aligned W-char
+    windows are hashed with the engine's portable md5-int contract; the
+    benchmark docs' DISTINCT window hashes form the small side (collected
+    to a sorted int64 array and broadcast once — at 100 TB the same probe
+    runs against a Bloom prefilter + exact tail, stages/bloom.py); every
+    corpus doc then reports how many of its windows collide. Counts are
+    exact ints; the contamination fraction is one IEEE division."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from .functions.dedup import MD5_HEX
+
+    docs = _docs(sf_dir)
+
+    def _win_pairs(t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if txt is None or len(txt) < SUBSTR_W:
+                continue
+            for i in range((len(txt) - SUBSTR_W) // SUBSTR_S + 1):
+                w = txt[i * SUBSTR_S: i * SUBSTR_S + SUBSTR_W]
+                ids.append(did)
+                hs.append(int(hashlib.md5(w.encode()).hexdigest()[:MD5_HEX], 16))
+        tb = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                       "h": pa.array(hs, type=pa.int64())})
+        out = pa.TableGroupBy(tb, ["doc_id", "h"]).aggregate([([], "count_all")])
+        return out.rename_columns(["doc_id", "h", "m"])
+
+    wins = docs.map_batches(_win_pairs, batch_format="pyarrow")
+
+    def _bench_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % CONTAM_MOD == 0)).select(["h"])
+
+    bench = np.sort(np.unique(
+        wins.map_batches(_bench_side, batch_format="pyarrow")
+            .to_pandas()["h"].to_numpy().astype(np.int64)
+    ))
+    bench_ref = ray.put(bench)
+
+    def _probe(t: pa.Table) -> pa.Table:
+        b = ray.get(bench_ref)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(b, h)
+        hit = (pos < len(b)) & (b[np.minimum(pos, max(len(b) - 1, 0))] == h) \
+            if len(b) else np.zeros(len(h), dtype=bool)
+        m = t["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_windows": pa.array(m),
+            "n_contaminated": pa.array(np.where(hit, m, 0)),
+        })
+
+    def _corpus_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % CONTAM_MOD != 0))
+
+    agg = wins.map_batches(_corpus_side, batch_format="pyarrow") \
+              .map_batches(_probe, batch_format="pyarrow") \
+              .groupby("doc_id") \
+              .aggregate(Sum("n_windows", alias_name="n_windows"),
+                         Sum("n_contaminated", alias_name="n_contaminated"))
+
+    def _frac(df: pd.DataFrame) -> pd.DataFrame:
+        df["contamination"] = (df["n_contaminated"].to_numpy().astype(np.float64)
+                               / df["n_windows"].to_numpy().astype(np.float64))
+        return df[["doc_id", "n_windows", "n_contaminated", "contamination"]]
+
+    return agg.map_batches(_frac, batch_format="pandas")
+
+
+def _sql_contamination() -> str:
+    from .functions.dedup import md5_int_sql
+
+    h_expr = md5_int_sql(
+        f"substr(text, CAST(i * {SUBSTR_S} AS BIGINT) + 1, {SUBSTR_W})"
+    )
+    return f"""
+WITH win AS (
+  SELECT doc_id, {h_expr} AS h
+  FROM documents,
+       LATERAL unnest(range((length(text) - {SUBSTR_W}) // {SUBSTR_S} + 1)) AS t(i)
+  WHERE length(text) >= {SUBSTR_W}
+), b AS (
+  SELECT DISTINCT h FROM win WHERE doc_id % {CONTAM_MOD} = 0
+)
+SELECT w.doc_id, COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS contamination
+FROM win w LEFT JOIN b ON w.h = b.h
+WHERE w.doc_id % {CONTAM_MOD} <> 0
+GROUP BY w.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sampler pipelines (seeded/iterative — rows-only checks; conformance is
 # asserted by pytest per the reference's own test strategy, SURVEY.md §5)
 # ---------------------------------------------------------------------------
@@ -2168,6 +2656,14 @@ def build_queries() -> dict:
         "doc_rarity": q_doc_rarity,
         "substring_dedup": q_substring_dedup,
         "grouped_hll": q_grouped_hll,
+        "rank_window": q_rank_window,
+        "rolling_window": q_rolling_window,
+        "ntile": q_ntile,
+        "pivot": q_pivot,
+        "mode_flag": q_mode_flag,
+        "cross_source": q_cross_source,
+        "distinctive_terms": q_distinctive_terms,
+        "contamination": q_contamination,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -2241,6 +2737,14 @@ def build_oracle_sql() -> dict:
         "doc_rarity": SQL_DOC_RARITY,
         "substring_dedup": SQL_SUBSTRING_DEDUP,
         "grouped_hll": _sql_grouped_hll(),
+        "rank_window": SQL_RANK_WINDOW,
+        "rolling_window": SQL_ROLLING_WINDOW,
+        "ntile": SQL_NTILE,
+        "pivot": SQL_PIVOT,
+        "mode_flag": SQL_MODE_FLAG,
+        "cross_source": _sql_cross_source(),
+        "distinctive_terms": SQL_DISTINCTIVE_TERMS,
+        "contamination": _sql_contamination(),
     }
 
 
