@@ -1509,6 +1509,7 @@ def q_minhash_dedup(sf_dir: str):
 
     from .functions.dedup import (
         minhash_lsh_pairs,
+        neardup_components,
         neardup_components_distributed,
         neardup_keep,
     )
@@ -1563,8 +1564,17 @@ def q_minhash_dedup(sf_dir: str):
     ).map_batches(
         lambda t: t.filter(pc.equal(t["fp_min"], t["fp_max"])).select(["doc_a", "doc_b"]),
         batch_format="pyarrow",
-    )
-    comps = neardup_components_distributed(verified)
+    ).materialize()
+    # Scale-adaptive clustering: the verified edge set is the duplicated
+    # subset, orders of magnitude smaller than the corpus. While it fits one
+    # machine (2M edges ≈ 32 MB) the single-pass driver union-find skips the
+    # label-propagation loop's ~3 hash shuffles; past the threshold the
+    # distributed path computes the identical labeling (its own oracle:
+    # `neardup_components`).
+    if verified.count() <= 2_000_000:
+        comps = neardup_components(verified)
+    else:
+        comps = neardup_components_distributed(verified)
     return neardup_keep(docs.select_columns(["doc_id"]), comps)
 
 
