@@ -74,7 +74,12 @@ def run_bench() -> dict:
     # 3-4× (see BASELINE.md), and a burst lasts seconds — running the whole
     # sweep N times and taking each query's min ACROSS sweeps means a burst
     # would have to recur at the same query in every sweep to pollute it.
-    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    # Default raised 3 → 6 in round 3: the round-2 driver artifact caught a
+    # ~40-minute noise burst that inflated every untouched query 1.5-2.6×;
+    # six interleaved sweeps (measured: 37.7 s best-of-3 vs 24.7 s best-of-6
+    # back-to-back on the same build) are enough for at least one sweep to
+    # land in a quiet window.
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "6"))
     best: dict[str, float] = {name: float("inf") for name in BENCH_QUERIES}
     for _ in range(reps):
         for name in BENCH_QUERIES:
