@@ -2576,6 +2576,207 @@ GROUP BY w.doc_id
 """
 
 
+def q_contamination_join(sf_dir: str):
+    """Scale path of `contamination` (same oracle): when the benchmark
+    window-hash set outgrows a broadcast (billions of benchmark n-grams),
+    membership becomes a distributed LEFT OUTER hash join of the corpus
+    (doc_id, h, m) window table against the DISTINCT benchmark hashes —
+    only int64 triples cross the shuffle, no driver collection anywhere.
+    The broadcast variant stays the low-latency plan for bounded benchmark
+    sets; both paths are driver-checked against the identical SQL."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Sum
+
+    from .functions.dedup import MD5_HEX
+
+    docs = _docs(sf_dir)
+
+    def _win_pairs(t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if txt is None or len(txt) < SUBSTR_W:
+                continue
+            for i in range((len(txt) - SUBSTR_W) // SUBSTR_S + 1):
+                w = txt[i * SUBSTR_S: i * SUBSTR_S + SUBSTR_W]
+                ids.append(did)
+                hs.append(int(hashlib.md5(w.encode()).hexdigest()[:MD5_HEX], 16))
+        tb = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                       "h": pa.array(hs, type=pa.int64())})
+        out = pa.TableGroupBy(tb, ["doc_id", "h"]).aggregate([([], "count_all")])
+        return out.rename_columns(["doc_id", "h", "m"])
+
+    # the window table feeds both join sides — checkpoint once
+    from .stages.partitioning import checkpoint
+
+    wins = checkpoint(docs.map_batches(_win_pairs, batch_format="pyarrow"),
+                      "contam_wins")
+
+    def _bench_local(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % CONTAM_MOD == 0)).select(["h"])
+        vc = pa.TableGroupBy(sub, "h").aggregate([([], "count_all")])
+        return vc.select(["h"])
+
+    # DISTINCT benchmark hashes via local-distinct combiner + Count groupby
+    bench = wins.map_batches(_bench_local, batch_format="pyarrow") \
+                .groupby("h").aggregate(Count(alias_name="bc"))
+
+    def _corpus(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % CONTAM_MOD != 0))
+
+    corpus = wins.map_batches(_corpus, batch_format="pyarrow")
+    joined = corpus.join(bench, join_type="left_outer",
+                         num_partitions=pick_partitions(corpus, bench),
+                         on=("h",))
+
+    def _tally(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["m"].to_numpy().astype(np.int64)
+        hit = df["bc"].notna().to_numpy()
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "n_windows": m,
+                             "n_contaminated": np.where(hit, m, 0)})
+
+    agg = joined.map_batches(_tally, batch_format="pandas") \
+                .groupby("doc_id") \
+                .aggregate(Sum("n_windows", alias_name="n_windows"),
+                           Sum("n_contaminated", alias_name="n_contaminated"))
+
+    def _frac(df: pd.DataFrame) -> pd.DataFrame:
+        df["contamination"] = (df["n_contaminated"].to_numpy().astype(np.float64)
+                               / df["n_windows"].to_numpy().astype(np.float64))
+        return df[["doc_id", "n_windows", "n_contaminated", "contamination"]]
+
+    return agg.map_batches(_frac, batch_format="pandas")
+
+
+def q_left_join(sf_dir: str):
+    """LEFT OUTER join through Ray Data's native hash join: every customer
+    enriched with their HIGH-VALUE order aggregates (most customers have
+    none, so the NULL side is genuinely exercised). The fact side is
+    pre-combined per batch on the join key before the shuffle; money sums
+    ride exact int64 cents and the final dollars column is one IEEE
+    division, so the oracle matches bit-for-bit. NULL-side fills are
+    COALESCE(0) on both engines."""
+    from ray.data.aggregate import Sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).filter(expr=f"o_totalprice > {HIGH_ORDER_PRICE}")
+
+    def _combine(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        tb = pa.table({"o_custkey": t["o_custkey"],
+                       "spent_c": pa.array(cents),
+                       "n": pa.array(np.ones(len(cents), dtype=np.int64))})
+        out = pa.TableGroupBy(tb, "o_custkey").aggregate([("spent_c", "sum"), ("n", "sum")])
+        return out.rename_columns(["o_custkey", "spent_c", "n"])
+
+    agg = orders.map_batches(_combine, batch_format="pyarrow") \
+                .groupby("o_custkey") \
+                .aggregate(Sum("spent_c", alias_name="spent_c"),
+                           Sum("n", alias_name="n"))
+
+    joined = cust.join(agg, join_type="left_outer",
+                       num_partitions=pick_partitions(cust, agg),
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def _fill(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].fillna(0).to_numpy().astype(np.int64)
+        cents = df["spent_c"].fillna(0).to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy(),
+            "c_mktsegment": df["c_mktsegment"].to_numpy(),
+            "n_big_orders": n,
+            "big_total": cents.astype(np.float64) / 100.0,
+        })
+
+    return joined.map_batches(_fill, batch_format="pandas")
+
+
+SQL_LEFT_JOIN = f"""
+SELECT c_custkey, c_mktsegment,
+       COALESCE(n_big_orders, 0) AS n_big_orders,
+       CAST(COALESCE(spent_c, 0) AS DOUBLE) / 100.0 AS big_total
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_big_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spent_c
+  FROM orders WHERE o_totalprice > {HIGH_ORDER_PRICE}
+  GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+"""
+
+
+KMEANS_CENTROID_IDS = [0, 1, 2, 3]
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Spherical k-means ASSIGNMENT step (the inner loop of distributed
+    k-means and the IVF coarse quantizer, functions/similarity.py): each
+    embedding goes to the centroid with the highest cosine. Centroids (the
+    vectors of 4 fixed ids) broadcast as one int64-quantized matrix; each
+    batch computes all K cosines with ONE matmul of exact ints, and the
+    float cosine is the engine's single portable IEEE expression, so the
+    arg-max (ties → lowest centroid id = numpy first-index) is
+    bit-reproducible by the oracle."""
+    from .functions.similarity import cosine_from_ints, load_query_matrix
+
+    path = f"{sf_dir}/embeddings.parquet"
+    cm = load_query_matrix(path, KMEANS_CENTROID_IDS)
+    cnorms = (cm * cm).sum(axis=1)
+    cm_ref = ray.put((cm, cnorms))
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def _assign(t: pa.Table) -> pa.Table:
+        from .functions.similarity import quantize
+
+        cmat, cn = ray.get(cm_ref)
+        mat = quantize(np.stack(t["embedding"].combine_chunks()
+                                .to_numpy(zero_copy_only=False)))
+        dots = mat @ cmat.T                      # exact int64 (rows × K)
+        norms = (mat * mat).sum(axis=1)
+        cos = cosine_from_ints(dots, norms[:, None], cn[None, :])
+        best = np.argmax(cos, axis=1)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "centroid_id": pa.array(best.astype(np.int64)),
+            "cos": pa.array(cos[np.arange(len(best)), best]),
+        })
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def _sql_kmeans_assign() -> str:
+    from .functions.similarity import quantize_sql
+
+    qe = quantize_sql("embedding")
+    order = ", ".join(f"({i}, {ci})" for ci, i in enumerate(KMEANS_CENTROID_IDS))
+    return f"""
+WITH z AS (SELECT vec_id, {qe} AS e FROM embeddings),
+nz AS (SELECT vec_id, e,
+       (SELECT SUM(e[i] * e[i]) FROM generate_series(1, {EMB_DIM}) t(i)) AS nn FROM z),
+cmap AS (SELECT CAST(qid AS BIGINT) AS qid, CAST(cid AS BIGINT) AS centroid_id
+         FROM (VALUES {order}) v(qid, cid)),
+c AS (SELECT centroid_id, e AS ce, nn AS cn FROM nz JOIN cmap ON vec_id = qid),
+d AS (SELECT nz.vec_id, c.centroid_id,
+        CAST((SELECT SUM(ce[i] * nz.e[i]) FROM generate_series(1, {EMB_DIM}) t(i))
+             AS DOUBLE)
+        / (SQRT(CAST(nz.nn AS DOUBLE)) * SQRT(CAST(c.cn AS DOUBLE))) AS cos
+      FROM nz, c)
+SELECT vec_id, centroid_id, cos
+FROM d
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sampler pipelines (seeded/iterative — rows-only checks; conformance is
 # asserted by pytest per the reference's own test strategy, SURVEY.md §5)
@@ -2674,6 +2875,9 @@ def build_queries() -> dict:
         "cross_source": q_cross_source,
         "distinctive_terms": q_distinctive_terms,
         "contamination": q_contamination,
+        "left_join": q_left_join,
+        "kmeans_assign": q_kmeans_assign,
+        "contamination_join": q_contamination_join,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -2755,6 +2959,9 @@ def build_oracle_sql() -> dict:
         "cross_source": _sql_cross_source(),
         "distinctive_terms": SQL_DISTINCTIVE_TERMS,
         "contamination": _sql_contamination(),
+        "left_join": SQL_LEFT_JOIN,
+        "kmeans_assign": _sql_kmeans_assign(),
+        "contamination_join": _sql_contamination(),
     }
 
 
