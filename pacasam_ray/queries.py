@@ -2714,6 +2714,114 @@ LEFT JOIN (
 """
 
 
+def q_grouped_corr(sf_dir: str):
+    """Per-group Pearson correlation as an ALGEBRAIC aggregate: each batch
+    emits the 7-tuple (n, Σx, Σy, Σx², Σy², Σxy) per group — quantities and
+    cent-quantized discounts are exact int64, so the merged sums are exact
+    — and r comes out of ONE mirrored IEEE expression over those ints
+    (n·Σxy−ΣxΣy stays < 2^53, so the double conversion is lossless). The
+    same combiner shape extends to covariance/regression slopes; nothing
+    but |groups| tiny rows crosses the shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        y = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        out = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].to_numpy(),
+            "n": np.ones(len(df), dtype=np.int64),
+            "sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y,
+        })
+        return out.groupby("l_returnflag", sort=False, as_index=False).sum()
+
+    agg = ds.map_batches(_partial, batch_format="pandas") \
+            .groupby("l_returnflag") \
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+
+    def _corr(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy()
+        sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+        sxx, syy, sxy = df["sxx"].to_numpy(), df["syy"].to_numpy(), df["sxy"].to_numpy()
+        num = (n * sxy - sx * sy).astype(np.float64)
+        den = (np.sqrt((n * sxx - sx * sx).astype(np.float64))
+               * np.sqrt((n * syy - sy * sy).astype(np.float64)))
+        return pd.DataFrame({"l_returnflag": df["l_returnflag"].to_numpy(),
+                             "n": n, "corr_qd": num / den})
+
+    return agg.map_batches(_corr, batch_format="pandas")
+
+
+SQL_GROUPED_CORR = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+          * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qd
+FROM s
+"""
+
+
+HIST_BIN_W = 50.0
+
+
+def q_grouped_histogram(sf_dir: str):
+    """Per-group fixed-bin histogram (the shuffle-free building block of
+    distributed quantile estimation, stages/orderstats.py): each batch
+    bins `value` into width-50 buckets and emits per-(group, bin) counts,
+    so the Sum groupby moves ≤ groups×bins tiny rows per block. Bin edges
+    are compile-time constants; `floor(value / w)` is the same IEEE op on
+    both engines, so even edge-landing doubles bin identically."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(df["value"].to_numpy() / HIST_BIN_W).astype(np.int64)
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                            "bin": b,
+                            "n": np.ones(len(df), dtype=np.int64)})
+        return out.groupby(["event_type", "bin"], sort=False, as_index=False).sum()
+
+    agg = ds.map_batches(_partial, batch_format="pandas") \
+            .groupby(["event_type", "bin"]) \
+            .aggregate(Sum("n", alias_name="n"))
+
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["bin"].to_numpy()
+        df["lo"] = b * HIST_BIN_W
+        df["hi"] = (b + 1) * HIST_BIN_W
+        return df[["event_type", "bin", "lo", "hi", "n"]]
+
+    return agg.map_batches(_edges, batch_format="pandas")
+
+
+SQL_GROUPED_HISTOGRAM = f"""
+SELECT event_type, CAST(FLOOR(value / {HIST_BIN_W!r}) AS BIGINT) AS bin,
+       CAST(FLOOR(value / {HIST_BIN_W!r}) AS BIGINT) * {HIST_BIN_W!r} AS lo,
+       (CAST(FLOOR(value / {HIST_BIN_W!r}) AS BIGINT) + 1) * {HIST_BIN_W!r} AS hi,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type, bin
+"""
+
+
 KMEANS_CENTROID_IDS = [0, 1, 2, 3]
 
 
@@ -2878,6 +2986,8 @@ def build_queries() -> dict:
         "left_join": q_left_join,
         "kmeans_assign": q_kmeans_assign,
         "contamination_join": q_contamination_join,
+        "grouped_corr": q_grouped_corr,
+        "grouped_histogram": q_grouped_histogram,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -2962,6 +3072,8 @@ def build_oracle_sql() -> dict:
         "left_join": SQL_LEFT_JOIN,
         "kmeans_assign": _sql_kmeans_assign(),
         "contamination_join": _sql_contamination(),
+        "grouped_corr": SQL_GROUPED_CORR,
+        "grouped_histogram": SQL_GROUPED_HISTOGRAM,
     }
 
 
