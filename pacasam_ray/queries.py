@@ -2822,6 +2822,65 @@ GROUP BY event_type, bin
 """
 
 
+def q_funnel(sf_dir: str):
+    """Ordered conversion funnel (view → click → purchase): each user's
+    depth is how far they progressed with STRICTLY increasing timestamps.
+    Users co-locate by hash bucket; inside a partition the three stage
+    times are pandas hash-groupby min kernels (C-vectorized across all
+    users at once, no per-user dispatch), and only the tiny per-depth
+    count table leaves the reduce — at 10^8 users the driver sees 4 rows."""
+    from ray.data.aggregate import Sum
+
+    from .stages.partitioning import grouped_batch_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def _depth(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(us=df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        t1 = df.loc[df["event_type"] == "view"].groupby("user_id")["us"].min()
+        c1 = df["user_id"].map(t1)
+        t2 = df.loc[(df["event_type"] == "click") & (df["us"] > c1)] \
+               .groupby("user_id")["us"].min()
+        c2 = df["user_id"].map(t2)
+        t3 = df.loc[(df["event_type"] == "purchase") & (df["us"] > c2)] \
+               .groupby("user_id")["us"].min()
+        users = df["user_id"].drop_duplicates()
+        depth = (users.isin(t1.index).astype(np.int64)
+                 + users.isin(t2.index).astype(np.int64)
+                 + users.isin(t3.index).astype(np.int64))
+        out = pd.DataFrame({"funnel_depth": depth.to_numpy()})
+        out["n_users"] = np.int64(1)
+        return out.groupby("funnel_depth", sort=False, as_index=False).sum()
+
+    per_bucket = grouped_batch_map(ds, ["user_id"], _depth)
+    return per_bucket.groupby("funnel_depth").aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
+SQL_FUNNEL = """
+WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events),
+d AS (SELECT u.user_id,
+             CASE WHEN t3.user_id IS NOT NULL THEN 3
+                  WHEN t2.user_id IS NOT NULL THEN 2
+                  WHEN t1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS funnel_depth
+      FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+             LEFT JOIN t3 USING (user_id))
+SELECT funnel_depth, COUNT(*) AS n_users FROM d GROUP BY funnel_depth
+"""
+
+
 KMEANS_CENTROID_IDS = [0, 1, 2, 3]
 
 
@@ -2988,6 +3047,7 @@ def build_queries() -> dict:
         "contamination_join": q_contamination_join,
         "grouped_corr": q_grouped_corr,
         "grouped_histogram": q_grouped_histogram,
+        "funnel": q_funnel,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -3074,6 +3134,7 @@ def build_oracle_sql() -> dict:
         "contamination_join": _sql_contamination(),
         "grouped_corr": SQL_GROUPED_CORR,
         "grouped_histogram": SQL_GROUPED_HISTOGRAM,
+        "funnel": SQL_FUNNEL,
     }
 
 
