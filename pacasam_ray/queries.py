@@ -1776,6 +1776,58 @@ WHERE rn = (n_items - 1) // 2 + 1
 """
 
 
+QUANTILE_PS = (0.25, 0.5, 0.75)
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Multi-quantile per group in ONE partition-level pass: the same
+    sorted-run offset gather as `grouped_median`, but gathering the
+    floor((n-1)·q)-th element for q ∈ {.25, .5, .75} simultaneously —
+    three order statistics for the price of one sort, vectorized across
+    every group in the partition. Discrete (element-picking) semantics, so
+    floats pass through untouched and the ROW_NUMBER oracle is exact."""
+    from .stages.partitioning import grouped_batch_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    )
+
+    def _quants(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["l_partkey", "l_extendedprice"],
+                            kind="mergesort").reset_index(drop=True)
+        key = df["l_partkey"].to_numpy()
+        v = df["l_extendedprice"].to_numpy()
+        first = np.flatnonzero(np.r_[True, key[1:] != key[:-1]]) \
+            if len(df) else np.array([], dtype=np.int64)
+        sizes = np.diff(np.append(first, len(df)))
+        out = {"l_partkey": key[first], "n_items": sizes.astype(np.int64)}
+        for q in QUANTILE_PS:
+            take = first + np.floor((sizes - 1) * q).astype(np.int64)
+            out[f"p{int(q * 100)}"] = v[take]
+        return pd.DataFrame(out)
+
+    return grouped_batch_map(ds, ["l_partkey"], _quants)
+
+
+def _sql_grouped_quantiles() -> str:
+    picks = ", ".join(
+        f"MAX(CASE WHEN rn = CAST(FLOOR((n_items - 1) * {q!r}) AS BIGINT) + 1 "
+        f"THEN l_extendedprice END) AS p{int(q * 100)}"
+        for q in QUANTILE_PS
+    )
+    return f"""
+WITH r AS (
+  SELECT l_partkey, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS n_items
+  FROM lineitem
+)
+SELECT l_partkey, n_items, {picks}
+FROM r GROUP BY l_partkey, n_items
+"""
+
+
 # Non-uniform [lo, hi) price bands: a genuine interval join, not a
 # divide-by-width bucketing.
 PRICE_BANDS = (0.0, 2000.0, 5000.0, 10000.0, 20000.0, 40000.0,
@@ -3048,6 +3100,7 @@ def build_queries() -> dict:
         "grouped_corr": q_grouped_corr,
         "grouped_histogram": q_grouped_histogram,
         "funnel": q_funnel,
+        "grouped_quantiles": q_grouped_quantiles,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -3135,6 +3188,7 @@ def build_oracle_sql() -> dict:
         "grouped_corr": SQL_GROUPED_CORR,
         "grouped_histogram": SQL_GROUPED_HISTOGRAM,
         "funnel": SQL_FUNNEL,
+        "grouped_quantiles": _sql_grouped_quantiles(),
     }
 
 
