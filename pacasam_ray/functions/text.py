@@ -171,6 +171,42 @@ LANG_PROFILES = {
 }
 
 
+def lang_id_sql(table: str = "documents") -> str:
+    """DuckDB twin of :class:`LangId` — the scoring is integer arithmetic
+    over set intersections (2·|tokens ∩ profile| + |bigrams ∩ profile|) and
+    the Python loop's strict `>` keeps the earlier lang of `sorted(langs)`
+    on ties, i.e. ORDER BY score DESC, lang — so the heuristic IS
+    SQL-expressible and the oracle is exact."""
+    prof_rows = ", ".join(
+        f"('{lang}', '{item}')"
+        for lang, items in LANG_PROFILES.items() for item in items
+    )
+    lang_rows = ", ".join(f"('{lang}')" for lang in sorted(LANG_PROFILES))
+    return f"""
+WITH prof(lang, item) AS (VALUES {prof_rows}),
+langs(lang) AS (VALUES {lang_rows}),
+tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS item
+        FROM {table}),
+big AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS BIGINT), 2) AS item
+        FROM {table}, LATERAL unnest(range(1, length(text))) AS t(i)),
+tc AS (SELECT t.doc_id, p.lang, COUNT(*) AS c
+       FROM tok t JOIN prof p ON t.item = p.item GROUP BY t.doc_id, p.lang),
+bc AS (SELECT b.doc_id, p.lang, COUNT(*) AS c
+       FROM big b JOIN prof p ON b.item = p.item GROUP BY b.doc_id, p.lang),
+scored AS (
+  SELECT d.doc_id, l.lang,
+         COALESCE(tc.c, 0) * 2 + COALESCE(bc.c, 0) AS score
+  FROM (SELECT doc_id FROM {table}) d
+  CROSS JOIN langs l
+  LEFT JOIN tc ON tc.doc_id = d.doc_id AND tc.lang = l.lang
+  LEFT JOIN bc ON bc.doc_id = d.doc_id AND bc.lang = l.lang
+)
+SELECT doc_id, lang AS lang_pred
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
+"""
+
+
 class LangId:
     """Actor-pool stage: n-gram/stopword profile scoring, profiles compiled
     once per actor in ``__init__`` (the canonical stateful-stage shape)."""

@@ -1211,12 +1211,20 @@ def q_text_scrub(sf_dir: str):
 
 def q_lang_id(sf_dir: str):
     """Language-ID heuristic (actor pool; profiles compiled per actor).
-    Rows-only: the n-gram scoring heuristic is not SQL-expressible."""
+    Round 3: oracle-exact after all — the profile scoring is integer set
+    intersections and the tie-break is deterministic, so
+    `functions/text.lang_id_sql` reproduces every prediction."""
     from .functions.text import LangId
 
     return _docs(sf_dir).map_batches(
         LangId, batch_format="pyarrow", concurrency=(1, 4)
     ).select_columns(["doc_id", "lang_pred"])
+
+
+def _sql_lang_id() -> str:
+    from .functions.text import lang_id_sql
+
+    return lang_id_sql("documents")
 
 
 # ---------------------------------------------------------------------------
@@ -2670,9 +2678,14 @@ def q_contamination_join(sf_dir: str):
         vc = pa.TableGroupBy(sub, "h").aggregate([([], "count_all")])
         return vc.select(["h"])
 
-    # DISTINCT benchmark hashes via local-distinct combiner + Count groupby
-    bench = wins.map_batches(_bench_local, batch_format="pyarrow") \
-                .groupby("h").aggregate(Count(alias_name="bc"))
+    # DISTINCT benchmark hashes via local-distinct combiner + Count groupby;
+    # scrubbed because the aggregate feeds a join (schema-less empty blocks)
+    from .stages.partitioning import scrub_empty_blocks
+
+    bench = scrub_empty_blocks(
+        wins.map_batches(_bench_local, batch_format="pyarrow")
+            .groupby("h").aggregate(Count(alias_name="bc"))
+    )
 
     def _corpus(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -2730,10 +2743,16 @@ def q_left_join(sf_dir: str):
         out = pa.TableGroupBy(tb, "o_custkey").aggregate([("spent_c", "sum"), ("n", "sum")])
         return out.rename_columns(["o_custkey", "spent_c", "n"])
 
-    agg = orders.map_batches(_combine, batch_format="pyarrow") \
-                .groupby("o_custkey") \
-                .aggregate(Sum("spent_c", alias_name="spent_c"),
-                           Sum("n", alias_name="n"))
+    from .stages.partitioning import scrub_empty_blocks
+
+    # aggregate output feeding a join: drop the schema-less zero-row blocks
+    # hash-aggregate emits for empty reduce partitions (see scrub_empty_blocks)
+    agg = scrub_empty_blocks(
+        orders.map_batches(_combine, batch_format="pyarrow")
+              .groupby("o_custkey")
+              .aggregate(Sum("spent_c", alias_name="spent_c"),
+                         Sum("n", alias_name="n"))
+    )
 
     joined = cust.join(agg, join_type="left_outer",
                        num_partitions=pick_partitions(cust, agg),
@@ -3189,6 +3208,7 @@ def build_oracle_sql() -> dict:
         "grouped_histogram": SQL_GROUPED_HISTOGRAM,
         "funnel": SQL_FUNNEL,
         "grouped_quantiles": _sql_grouped_quantiles(),
+        "lang_id": _sql_lang_id(),
     }
 
 
