@@ -1939,6 +1939,110 @@ GROUP BY l_returnflag
 """
 
 
+def q_semi_join_shuffle(sf_dir: str):
+    """Same EXISTS semantics as `semi_join`, through Ray Data's native
+    LEFT SEMI hash join instead of the broadcast probe — the plan that
+    wins when the key side is too big to broadcast but both sides are
+    shuffle-affordable. The build side is pre-deduplicated by a Count
+    groupby so the semi join's right side carries one row per key."""
+    from ray.data.aggregate import Count, Sum
+
+    from .stages.partitioning import scrub_empty_blocks
+
+    keys = scrub_empty_blocks(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        ).filter(expr=f"o_totalprice > {HIGH_ORDER_PRICE}")
+        .select_columns(["o_orderkey"])
+        .groupby("o_orderkey").aggregate(Count(alias_name="c"))
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_quantity"],
+    )
+    kept = ds.join(keys, join_type="left_semi",
+                   num_partitions=pick_partitions(ds, keys),
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+    return kept.groupby("l_returnflag") \
+               .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+
+
+def q_full_join(sf_dir: str):
+    """FULL OUTER join: even-keyed customers against per-customer
+    high-value order aggregates — odd custkeys survive only from the
+    right side, customers without qualifying orders only from the left,
+    so both NULL sides are exercised. Money sums ride exact int64 cents
+    (one IEEE division at the end); the join key is COALESCEd back to one
+    column on both engines."""
+    from ray.data.aggregate import Sum
+
+    from .stages.partitioning import scrub_empty_blocks
+
+    def _even(t: pa.Table) -> pa.Table:
+        ids = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 2 == 0))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(_even, batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).filter(expr=f"o_totalprice > {HIGH_ORDER_PRICE}")
+
+    def _combine(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        tb = pa.table({"o_custkey": t["o_custkey"],
+                       "spent_c": pa.array(cents),
+                       "n": pa.array(np.ones(len(cents), dtype=np.int64))})
+        out = pa.TableGroupBy(tb, "o_custkey").aggregate(
+            [("spent_c", "sum"), ("n", "sum")]
+        )
+        return out.rename_columns(["o_custkey", "spent_c", "n"])
+
+    agg = scrub_empty_blocks(
+        orders.map_batches(_combine, batch_format="pyarrow")
+              .groupby("o_custkey")
+              .aggregate(Sum("spent_c", alias_name="spent_c"),
+                         Sum("n", alias_name="n"))
+    )
+
+    joined = cust.join(agg, join_type="full_outer",
+                       num_partitions=pick_partitions(cust, agg),
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def _fill(df: pd.DataFrame) -> pd.DataFrame:
+        # Ray's full_outer join coalesces right_on into the left key column
+        n = df["n"].fillna(0).to_numpy().astype(np.int64)
+        cents = df["spent_c"].fillna(0).to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "custkey": df["c_custkey"].to_numpy().astype(np.int64),
+            "c_mktsegment": df["c_mktsegment"]
+                .where(df["c_mktsegment"].notna(), None).to_numpy(),
+            "n_big_orders": n,
+            "big_total": cents.astype(np.float64) / 100.0,
+        })
+
+    return joined.map_batches(_fill, batch_format="pandas")
+
+
+SQL_FULL_JOIN = f"""
+SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_mktsegment,
+       COALESCE(n_big_orders, 0) AS n_big_orders,
+       CAST(COALESCE(spent_c, 0) AS DOUBLE) / 100.0 AS big_total
+FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0) c
+FULL JOIN (
+  SELECT o_custkey, COUNT(*) AS n_big_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spent_c
+  FROM orders WHERE o_totalprice > {HIGH_ORDER_PRICE}
+  GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+"""
+
+
 def q_bloom_anti_join(sf_dir: str):
     """Anti join via Bloom prefilter (stages/bloom.py): the build side's
     keys fold into a 128 KiB filter with a per-block partial-OR combiner +
@@ -3120,6 +3224,8 @@ def build_queries() -> dict:
         "grouped_histogram": q_grouped_histogram,
         "funnel": q_funnel,
         "grouped_quantiles": q_grouped_quantiles,
+        "semi_join_shuffle": q_semi_join_shuffle,
+        "full_join": q_full_join,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -3209,6 +3315,8 @@ def build_oracle_sql() -> dict:
         "funnel": SQL_FUNNEL,
         "grouped_quantiles": _sql_grouped_quantiles(),
         "lang_id": _sql_lang_id(),
+        "semi_join_shuffle": SQL_SEMI_JOIN,
+        "full_join": SQL_FULL_JOIN,
     }
 
 
