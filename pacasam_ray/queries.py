@@ -2106,11 +2106,16 @@ def q_doc_rarity(sf_dir: str):
         ).aggregate([("m", "sum")])
         return vc.rename_columns(["term", "n"])
 
+    from .stages.partitioning import scrub_empty_blocks
+
     # combiner keyed on the exploded pairs: one row per distinct term per
-    # block crosses the shuffle, never one per token
-    totals = pairs.map_batches(
-        lambda t: _local_counts(t), batch_format="pyarrow"
-    ).groupby("term").aggregate(Sum("n", alias_name="n"))
+    # block crosses the shuffle, never one per token; scrubbed because the
+    # aggregate feeds a join (schema-less empty blocks)
+    totals = scrub_empty_blocks(
+        pairs.map_batches(
+            lambda t: _local_counts(t), batch_format="pyarrow"
+        ).groupby("term").aggregate(Sum("n", alias_name="n"))
+    )
 
     joined = pairs.join(totals, join_type="inner",
                         num_partitions=pick_partitions(pairs, totals),
@@ -2212,8 +2217,13 @@ def q_substring_dedup(sf_dir: str):
                .aggregate([("m", "sum")])
         return vc.rename_columns(["h", "cnt"])
 
-    counts = wins.map_batches(_local, batch_format="pyarrow") \
-                 .groupby("h").aggregate(Sum("cnt", alias_name="cnt"))
+    from .stages.partitioning import scrub_empty_blocks
+
+    # aggregate output feeding a join: scrub schema-less empty blocks
+    counts = scrub_empty_blocks(
+        wins.map_batches(_local, batch_format="pyarrow")
+            .groupby("h").aggregate(Sum("cnt", alias_name="cnt"))
+    )
 
     joined = wins.join(counts, join_type="inner",
                        num_partitions=pick_partitions(wins, counts),
@@ -2594,8 +2604,12 @@ def q_distinctive_terms(sf_dir: str):
         vc = pa.TableGroupBy(t.select(["term"]), "term").aggregate([([], "count_all")])
         return vc.rename_columns(["term", "d"])
 
-    dfreq = pairs.map_batches(_local_df, batch_format="pyarrow") \
-                 .groupby("term").aggregate(Sum("d", alias_name="df"))
+    from .stages.partitioning import scrub_empty_blocks
+
+    dfreq = scrub_empty_blocks(
+        pairs.map_batches(_local_df, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("d", alias_name="df"))
+    )
 
     joined = pairs.join(dfreq, join_type="inner",
                         num_partitions=pick_partitions(pairs, dfreq),

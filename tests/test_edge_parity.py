@@ -17,10 +17,19 @@ from pacasam_ray.queries import build_oracle_sql, build_queries
 from test_oracle_parity import canonicalize, to_pandas
 
 EDGE_QUERIES = [
+    # round-3 operators
     "rank_window", "rolling_window", "events_lag", "funnel",
     "grouped_median", "grouped_quantiles", "mode_flag", "grouped_corr",
     "grouped_histogram", "ntile", "distinctive_terms", "contamination",
-    "cross_source", "left_join", "contamination_join",
+    "cross_source", "left_join", "contamination_join", "lang_id",
+    # earlier operators that read only the crafted tables: tiny/tied
+    # groups, sub-k strata, duplicate 2-grams, interleaved-equal
+    # timestamps are all shapes the uniform testdata never produces
+    "grouped_topk", "grouped_top1", "median_price", "dedup_text",
+    "top_terms", "repetition_ratio", "text_quality", "fingerprint",
+    "token_count", "events_sessions", "events_window", "events_hopping",
+    "text_scrub", "asof_join", "distinct_hll", "substring_dedup",
+    "doc_rarity", "simhash",
 ]
 
 
