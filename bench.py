@@ -79,13 +79,20 @@ def run_bench() -> dict:
     # six interleaved sweeps (measured: 37.7 s best-of-3 vs 24.7 s best-of-6
     # back-to-back on the same build) are enough for at least one sweep to
     # land in a quiet window.
+    # Time-boxed: a noisy host can stretch one sweep 2-3×, and an unknown
+    # caller-side timeout with NO artifact is worse than a noisy artifact —
+    # so stop early (after ≥ 2 full sweeps) once the rep budget is spent.
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "6"))
+    rep_budget_s = float(os.environ.get("GRAFT_BENCH_BUDGET_S", "240"))
     best: dict[str, float] = {name: float("inf") for name in BENCH_QUERIES}
-    for _ in range(reps):
+    sweep0 = time.perf_counter()
+    for rep in range(reps):
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             consume(queries[name](SF_DIR))
             best[name] = min(best[name], time.perf_counter() - t0)
+        if rep >= 1 and time.perf_counter() - sweep0 > rep_budget_s:
+            break
     timings = {name: round(v, 4) for name, v in best.items()}
 
     total = round(sum(timings.values()), 4)
