@@ -3134,6 +3134,489 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) =
 
 
 # ---------------------------------------------------------------------------
+# Distribution-position windows, robust grouped filters, keep-best dedup
+# ---------------------------------------------------------------------------
+
+def q_percent_rank(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per user over ``value`` ascending.
+
+    Same partition-level shape as `q_rank_window`: users co-locate by
+    hash bucket, one mergesort per ~256 MiB partition, then every
+    distribution position comes from boundary scans (`np.r_`
+    new-group/new-value masks + `np.repeat` of tie-run ends) — no
+    per-group dispatch. The two float columns are each ONE IEEE division
+    of exact integers ((rank-1)/(n-1), run_end/n), so they hash-match
+    the oracle bit-for-bit at any parallelism."""
+    from .stages.partitioning import grouped_batch_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value", "event_id"]
+    )
+
+    def _pr(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        uid = df["user_id"].to_numpy()
+        val = df["value"].to_numpy()
+        n = len(df)
+        idx = np.arange(n, dtype=np.int64)
+        empty = np.array([], bool)
+        new_u = np.r_[True, uid[1:] != uid[:-1]] if n else empty
+        new_p = new_u | (np.r_[True, val[1:] != val[:-1]] if n else empty)
+        gs = np.maximum.accumulate(np.where(new_u, idx, 0))
+        ps = np.maximum.accumulate(np.where(new_p, idx, 0))
+        # per-row group size and tie-run end, via run-length repeats
+        gstarts = idx[new_u]
+        glens = np.diff(np.r_[gstarts, n])
+        gn = np.repeat(glens, glens)
+        rstarts = idx[new_p]
+        rlens = np.diff(np.r_[rstarts, n])
+        rend = np.repeat(rstarts + rlens - 1, rlens)
+        rank = ps - gs + 1
+        pr = np.where(gn > 1, (rank - 1) / np.maximum(gn - 1, 1), 0.0)
+        cd = (rend - gs + 1) / gn
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": uid, "value": val, "pr": pr, "cd": cd,
+        })
+
+    return grouped_batch_map(ds, ["user_id"], _pr)
+
+
+SQL_PERCENT_RANK = """
+SELECT event_id, user_id, value,
+       PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value) AS pr,
+       CUME_DIST()    OVER (PARTITION BY user_id ORDER BY value) AS cd
+FROM events
+"""
+
+
+ZSCORE_SIGMAS = 2
+
+
+def q_zscore_outlier(sf_dir: str):
+    """Grouped z-score anomaly filter: events whose value sits more than
+    2 population-σ from their event_type's mean.
+
+    Two passes, zero shuffles: (1) per-batch integer partials
+    (n, Σx, Σx²) in cents combine into a tiny per-type stats table on
+    the driver (|event_type| rows); (2) the filter predicate is the
+    EXACT integer inequality (n·x − S)² > k²·(n·SS − S²) — the z-score
+    test cleared of all divisions — evaluated per batch against the
+    broadcast stats. No float accumulation anywhere, so the selection
+    is bit-reproducible at any parallelism. Magnitude guard: n·SS must
+    fit int64 (holds to ~10^9 rows at cents scale; past that the
+    partials switch to Python-int object dtype — asserted here)."""
+    path = f"{sf_dir}/events.parquet"
+
+    def _partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        x = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({"event_type": et, "n": 1, "s": x, "ss": x * x})
+        g = df.groupby("event_type", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (
+        ray.data.read_parquet(path, columns=["event_type", "value"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .sum()
+    )
+    n = stats["n"].to_numpy(np.int64)
+    s = stats["s"].to_numpy(np.int64)
+    ss = stats["ss"].to_numpy(np.int64)
+    assert ss.max(initial=0) < 2**62 // max(int(n.max(initial=1)), 1), \
+        "int64 z-score partials overflow; switch partials to object dtype"
+    order = np.argsort(stats["event_type"].to_numpy())
+    types_sorted = stats["event_type"].to_numpy()[order]
+    packed = ray.put((types_sorted, n[order], s[order], ss[order]))
+
+    def _filter(t: pa.Table) -> pa.Table:
+        types_s, ns, Ss, SSs = ray.get(packed)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(types_s, et)
+        x = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        gn, gs_, gss = ns[pos], Ss[pos], SSs[pos]
+        lhs = (gn * x - gs_) ** 2
+        rhs = ZSCORE_SIGMAS * ZSCORE_SIGMAS * (gn * gss - gs_ * gs_)
+        return t.filter(pa.array(lhs > rhs)).select(
+            ["event_id", "event_type", "value"])
+
+    return ray.data.read_parquet(
+        path, columns=["event_id", "event_type", "value"]
+    ).map_batches(_filter, batch_format="pyarrow")
+
+
+SQL_ZSCORE_OUTLIER = f"""
+WITH c AS (SELECT event_id, event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS x, value FROM events),
+st AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS ss
+       FROM c GROUP BY event_type)
+SELECT c.event_id, c.event_type, c.value
+FROM c JOIN st USING (event_type)
+WHERE (st.n * c.x - st.s) * (st.n * c.x - st.s)
+      > {ZSCORE_SIGMAS * ZSCORE_SIGMAS} * (st.n * st.ss - st.s * st.s)
+"""
+
+
+KEEPBEST_PREFIX = 32
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Keep-best dedup: cluster documents by a boilerplate key (first
+    32 chars of text) and keep the highest-quality member — max
+    `n_chars`, ties to min `doc_id`. The webtext variant of DISTINCT ON
+    where the survivor is chosen by score, not arrival order.
+
+    One hash shuffle co-locates each key's rows (`grouped_batch_map`);
+    inside a partition ONE mergesort by (key, -n_chars, doc_id) + a
+    boundary mask picks every winner — vectorized across groups."""
+    from .stages.partitioning import grouped_batch_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": t["n_chars"],
+            "key": pc.utf8_slice_codeunits(t["text"], 0, KEEPBEST_PREFIX),
+        }),
+        batch_format="pyarrow",
+    )
+
+    def _best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["key", "n_chars", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort").reset_index(drop=True)
+        key = df["key"].to_numpy()
+        first = np.r_[True, key[1:] != key[:-1]] if len(df) else np.array([], bool)
+        return df.loc[first, ["key", "doc_id", "n_chars"]]
+
+    return grouped_batch_map(ds, ["key"], _best)
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+SELECT substr(text, 1, {KEEPBEST_PREFIX}) AS key, doc_id, n_chars
+FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY substr(text, 1, {KEEPBEST_PREFIX})
+                           ORDER BY n_chars DESC, doc_id) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered collect, diversity index, skyline
+# ---------------------------------------------------------------------------
+
+def q_string_agg_sorted(sf_dir: str):
+    """Ordered collect-list: per user, the comma-joined sequence of
+    event_types in (ts, event_id) order — the session-trace string that
+    downstream behavioral models consume.
+
+    After the one hash shuffle, each partition is sorted ONCE by
+    (user, ts, event_id); the per-user strings are then built with zero
+    per-group Python: group run-lengths become Arrow ListArray offsets
+    and `pc.binary_join` concatenates every list in one C kernel."""
+    from .stages.partitioning import grouped_batch_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        uid = df["user_id"].to_numpy()
+        n = len(df)
+        if not n:
+            return pd.DataFrame({"user_id": [], "trace": []})
+        idx = np.arange(n, dtype=np.int64)
+        new_u = np.r_[True, uid[1:] != uid[:-1]]
+        starts = idx[new_u]
+        offsets = np.r_[starts, n].astype(np.int64)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(df["event_type"].to_numpy(), type=pa.string()),
+        )
+        joined = pc.binary_join(lists, ",")
+        return pd.DataFrame({"user_id": uid[starts], "trace": joined.to_pandas()})
+
+    return grouped_batch_map(ds, ["user_id"], _agg)
+
+
+SQL_STRING_AGG = """
+SELECT user_id, STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS trace
+FROM events GROUP BY user_id
+"""
+
+
+def q_group_gini(sf_dir: str):
+    """Per-language Gini impurity of the source distribution — the
+    diversity index webtext curricula balance against. Unlike Shannon
+    entropy (whose `ln` is not bit-portable across libms), Gini is a
+    rational function of counts: 1 − Σp² = (T² − Σc²)/T², computed here
+    as exact integers with ONE final IEEE division.
+
+    Per-batch combiner groups (lang, source) counts, so the shuffle
+    moves ≤ |lang|×|source| rows per block; the final reduce is a tiny
+    driver-side sum."""
+    path = f"{sf_dir}/documents.parquet"
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "source": t["source"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["lang", "source"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ray.data.read_parquet(path, columns=["lang", "source"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["lang", "source"], as_index=False)["c"].sum()
+    )
+    rows = []
+    for lang, grp in counts.groupby("lang"):
+        cs = [int(c) for c in grp["c"]]          # Python ints: no overflow
+        t_, sq = sum(cs), sum(c * c for c in cs)
+        rows.append((lang, float(t_ * t_ - sq) / float(t_ * t_)))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["lang", "gini"])
+
+
+SQL_GROUP_GINI = """
+WITH c AS (SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source),
+p AS (SELECT lang, SUM(c) AS t, SUM(c * c) AS sq FROM c GROUP BY lang)
+SELECT lang, CAST(t * t - sq AS DOUBLE) / CAST(t * t AS DOUBLE) AS gini
+FROM p ORDER BY lang
+"""
+
+
+def q_pareto_front(sf_dir: str):
+    """Skyline / Pareto front of `part` minimizing (p_retailprice,
+    p_size): rows no other part dominates (≤ in both, < in one).
+
+    The skyline is distributive — every global member survives its
+    block's local skyline — so the plan is a textbook combiner: each
+    batch prunes to its local front with one sort + running-min scan
+    (vectorized), the union of survivors (tiny) collapses on the driver
+    with the same kernel. No shuffle at all."""
+    path = f"{sf_dir}/part.parquet"
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["p_retailprice", "p_size"],
+                            kind="mergesort").reset_index(drop=True)
+        price = df["p_retailprice"].to_numpy()
+        size = df["p_size"].to_numpy(np.int64)
+        n = len(df)
+        if not n:
+            return df
+        # min size over rows with STRICTLY smaller price
+        new_price = np.r_[True, price[1:] != price[:-1]]
+        run_id = np.cumsum(new_price) - 1
+        run_min = np.minimum.accumulate(
+            np.where(new_price, size, np.iinfo(np.int64).max))
+        # per price-run: min size among all previous runs
+        run_last_min = run_min[np.r_[new_price[1:], True]]
+        prev_min = np.r_[np.iinfo(np.int64).max,
+                         np.minimum.accumulate(run_last_min)[:-1]][run_id]
+        # same price, strictly smaller size dominates
+        run_first_size = size[np.r_[True, run_id[1:] != run_id[:-1]]][run_id]
+        dominated = (prev_min <= size) | (run_first_size < size)
+        return df.loc[~dominated]
+
+    parts = ray.data.read_parquet(
+        path, columns=["p_partkey", "p_retailprice", "p_size"]
+    ).map_batches(_local, batch_format="pandas").to_pandas()
+    return _local(parts)[["p_partkey", "p_retailprice", "p_size"]].reset_index(drop=True)
+
+
+SQL_PARETO_FRONT = """
+SELECT p_partkey, p_retailprice, p_size FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence statistics + non-parquet source round-trips
+# ---------------------------------------------------------------------------
+
+COOC_VOCAB = 30
+COOC_K = 50
+
+
+def q_term_cooccur(sf_dir: str):
+    """Term co-occurrence counts (the PMI numerator): for the global
+    top-30 vocabulary, how many documents contain each term pair.
+
+    The naive plan — self-join of the exploded (doc, term) table — is
+    quadratic in document frequency. Here the vocab cap bounds the
+    problem and turns the combiner into LINEAR ALGEBRA: each batch
+    builds a docs×V boolean presence matrix (one `pc.index_in` probe of
+    the broadcast vocab) and computes ALL pair counts with a single
+    V×V integer matmul (Mᵀ·M). The shuffle moves ≤ V²/2 rows per block
+    regardless of corpus size; the reduce is a tiny driver sum."""
+    from ray.data.aggregate import Sum
+
+    def _local_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        vc = pa.TableGroupBy(pa.table({"term": toks}), "term").aggregate(
+            [([], "count_all")])
+        return vc.rename_columns(["term", "n"])
+
+    counts = (
+        _docs(sf_dir).map_batches(_local_counts, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = counts.sort_values(["n", "term"], ascending=[False, True],
+                                kind="mergesort").head(COOC_VOCAB)
+    vocab = sorted(counts["term"])               # index order == lexicographic
+    vref = ray.put(pa.array(vocab, type=pa.string()))
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        vset = ray.get(vref)
+        V = len(vset)
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        idx = pc.index_in(flat, value_set=vset)
+        lens = np.diff(toks.offsets.to_numpy())
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        hit = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        pos = idx.to_numpy(zero_copy_only=False)
+        pres = np.zeros((t.num_rows, V), dtype=np.int64)
+        pres[doc_idx[hit], pos[hit].astype(np.int64)] = 1
+        cmat = pres.T @ pres                     # V×V co-occurrence counts
+        iu, ju = np.triu_indices(V, 1)
+        cnt = cmat[iu, ju]
+        nz = cnt > 0
+        return pa.table({"i": pa.array(iu[nz].astype(np.int64)),
+                         "j": pa.array(ju[nz].astype(np.int64)),
+                         "n": pa.array(cnt[nz])})
+
+    parts = (
+        _docs(sf_dir).map_batches(_pairs, batch_format="pyarrow")
+        .to_pandas().groupby(["i", "j"], as_index=False)["n"].sum()
+    )
+    varr = np.array(vocab, dtype=object)
+    parts["t1"] = varr[parts["i"].to_numpy(np.int64)]
+    parts["t2"] = varr[parts["j"].to_numpy(np.int64)]
+    parts = parts.sort_values(["n", "t1", "t2"], ascending=[False, True, True],
+                              kind="mergesort").head(COOC_K)
+    return parts[["t1", "t2", "n"]].reset_index(drop=True).astype({"n": "int64"})
+
+
+SQL_TERM_COOCCUR = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+cnt AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+vocab AS (SELECT term FROM cnt ORDER BY n DESC, term LIMIT {COOC_VOCAB}),
+pres AS (SELECT DISTINCT doc_id, term FROM toks
+         WHERE term IN (SELECT term FROM vocab)),
+pairs AS (SELECT a.term AS t1, b.term AS t2, COUNT(*) AS n
+          FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.term < b.term
+          GROUP BY a.term, b.term)
+SELECT t1, t2, n FROM pairs ORDER BY n DESC, t1, t2 LIMIT {COOC_K}
+"""
+
+
+def _roundtrip_dir(tag: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"pacasam_{tag}_", dir="/tmp")
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """Source-format coverage: events → CSV shards (`write_csv`) → fresh
+    `read_csv` scan → grouped exact-cents aggregate. Proves the CSV
+    connector round-trips types (int64, string, timestamp-free double)
+    shard-for-shard; the aggregate keeps the compared surface small and
+    exact. Shards inherit the input's block partitioning — at 100 TB
+    this is the standard parquet→CSV export path with no extra
+    shuffle."""
+    out = _roundtrip_dir("csv")
+    ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    ).write_csv(out)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                           "n": 1, "cents": cents})
+        g = df.groupby("event_type", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ray.data.read_csv(out)
+        .map_batches(_partial, batch_format="pyarrow")
+        .to_pandas().groupby("event_type", as_index=False).sum()
+    )
+    agg = agg.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+    return agg[["event_type", "n", "cents"]].astype({"n": "int64", "cents": "int64"})
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """Source-format coverage: documents (incl. free text with newlines /
+    quotes / unicode) → JSONL shards → fresh `read_json` scan → per-lang
+    BIT_XOR of the portable md5-int fingerprint + exact sums. The XOR
+    aggregate is order- and partition-invariant and collides only if the
+    text bytes changed, so a pass certifies byte-exact text fidelity
+    through the JSON encoder/decoder — the property webtext ingest
+    actually needs."""
+    from .functions.dedup import md5_int
+
+    out = _roundtrip_dir("jsonl")
+    ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars", "text"]
+    ).write_json(out)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        fp = np.array([md5_int(x) for x in t["text"].to_pylist()], dtype=np.int64)
+        df = pd.DataFrame({"lang": t["lang"].to_numpy(zero_copy_only=False),
+                           "n": 1,
+                           "sum_chars": t["n_chars"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("lang", sort=False, as_index=False).sum()
+        fx = pd.DataFrame({"lang": df["lang"], "fp": fp}).groupby(
+            "lang", sort=False)["fp"].agg(lambda s: np.bitwise_xor.reduce(s.to_numpy()))
+        return pa.Table.from_pandas(g.merge(fx.reset_index(), on="lang"),
+                                    preserve_index=False)
+
+    parts = (
+        ray.data.read_json(out)
+        .map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("lang", as_index=False).agg(
+        n=("n", "sum"), sum_chars=("sum_chars", "sum"),
+        fp_xor=("fp", lambda s: int(np.bitwise_xor.reduce(s.to_numpy()))))
+    agg = agg.sort_values("lang", kind="mergesort").reset_index(drop=True)
+    return agg.astype({"n": "int64", "sum_chars": "int64", "fp_xor": "int64"})
+
+
+def _sql_jsonl_roundtrip() -> str:
+    from .functions.dedup import md5_int_sql
+
+    return f"""
+SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
+       BIT_XOR({md5_int_sql('text')}) AS fp_xor
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sampler pipelines (seeded/iterative — rows-only checks; conformance is
 # asserted by pytest per the reference's own test strategy, SURVEY.md §5)
 # ---------------------------------------------------------------------------
@@ -3240,6 +3723,15 @@ def build_queries() -> dict:
         "grouped_quantiles": q_grouped_quantiles,
         "semi_join_shuffle": q_semi_join_shuffle,
         "full_join": q_full_join,
+        "percent_rank": q_percent_rank,
+        "zscore_outlier": q_zscore_outlier,
+        "dedup_keep_best": q_dedup_keep_best,
+        "string_agg_sorted": q_string_agg_sorted,
+        "group_gini": q_group_gini,
+        "pareto_front": q_pareto_front,
+        "term_cooccur": q_term_cooccur,
+        "csv_roundtrip": q_csv_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -3331,6 +3823,15 @@ def build_oracle_sql() -> dict:
         "lang_id": _sql_lang_id(),
         "semi_join_shuffle": SQL_SEMI_JOIN,
         "full_join": SQL_FULL_JOIN,
+        "percent_rank": SQL_PERCENT_RANK,
+        "zscore_outlier": SQL_ZSCORE_OUTLIER,
+        "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+        "string_agg_sorted": SQL_STRING_AGG,
+        "group_gini": SQL_GROUP_GINI,
+        "pareto_front": SQL_PARETO_FRONT,
+        "term_cooccur": SQL_TERM_COOCCUR,
+        "csv_roundtrip": SQL_CSV_ROUNDTRIP,
+        "jsonl_roundtrip": _sql_jsonl_roundtrip(),
     }
 
 
