@@ -3617,6 +3617,306 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# Hierarchical cell rollup + vector-geometry scalar ops (north-rule spatial)
+# ---------------------------------------------------------------------------
+
+ROLLUP_FACTORS = (1, 20, 100)  # patch → slab (20×) → super-slab (100×)
+
+
+def q_cell_rollup(sf_dir: str):
+    """H3-style hierarchical rollup: page counts at three tile
+    resolutions (patch cell, 20×20 slab, 100×100 super-slab) in ONE
+    pass. The per-batch combiner derives every parent key with integer
+    division and emits all three levels' local counts, so the shuffle
+    carries ≤ (distinct cells per block) × 3 rows and no second scan is
+    needed — the multi-resolution analog of a GROUPING SETS plan."""
+    cat = make_catalogue(sf_dir).select_columns(["cell"])
+    from .catalogue import GRID
+
+    def _counts(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx, gy = cell % GRID, cell // GRID
+        out = []
+        for lvl, f in enumerate(ROLLUP_FACTORS):
+            edge = GRID // f
+            key = (gy // f) * edge + gx // f
+            df = pd.DataFrame({"level": np.int64(lvl), "key": key})
+            out.append(df.groupby(["level", "key"], sort=False)
+                         .size().reset_index(name="n"))
+        return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    tot = (
+        cat.map_batches(_counts, batch_format="pyarrow")
+        .groupby(["level", "key"]).aggregate(Sum("n", alias_name="n"))
+    )
+    return tot
+
+
+def _sql_cell_rollup() -> str:
+    from .catalogue import GRID
+
+    legs = []
+    for lvl, f in enumerate(ROLLUP_FACTORS):
+        edge = GRID // f
+        legs.append(
+            f"SELECT CAST({lvl} AS BIGINT) AS level, "
+            f"((cell // {GRID}) // {f}) * {edge} + (cell % {GRID}) // {f} AS key, "
+            f"COUNT(*) AS n FROM ({CAT}) cat GROUP BY 2"
+        )
+    return " UNION ALL ".join(legs)
+
+
+def q_zone_overlap_area(sf_dir: str):
+    """Vector-geometry scalar op (raster↔vector support): per patch, the
+    total intersection AREA between its 50×50 square footprint and each
+    sampling-zone rectangle — the weight extraction uses to blend
+    zone-sourced rasters. Pure broadcast arithmetic: the 4-zone table
+    rides the closure; per batch it's 8 vectorized min/max kernels.
+    Coordinates are multiples of 0.5 so every product is IEEE-exact."""
+    from .catalogue import PATCH_SIZE
+
+    half = PATCH_SIZE / 2.0
+    zones = np.asarray(ZONES)  # (Z, 4): xmin ymin xmax ymax
+
+    cat = make_catalogue(sf_dir).select_columns(["patch_id", "x", "y"])
+
+    def _area(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        total = np.zeros(len(x))
+        for xmin, ymin, xmax, ymax in zones:
+            w = np.minimum(x + half, xmax) - np.maximum(x - half, xmin)
+            h = np.minimum(y + half, ymax) - np.maximum(y - half, ymin)
+            total = total + np.maximum(w, 0.0) * np.maximum(h, 0.0)
+        keep = total > 0
+        return pa.table({
+            "patch_id": t["patch_id"].filter(pa.array(keep)),
+            "overlap_area": pa.array(total[keep]),
+        })
+
+    return cat.map_batches(_area, batch_format="pyarrow")
+
+
+def _sql_zone_overlap_area() -> str:
+    from .catalogue import PATCH_SIZE
+
+    h = PATCH_SIZE / 2.0
+    terms = " + ".join(
+        f"GREATEST(LEAST(x + {h}, {xmax}) - GREATEST(x - {h}, {xmin}), 0)"
+        f" * GREATEST(LEAST(y + {h}, {ymax}) - GREATEST(y - {h}, {ymin}), 0)"
+        for xmin, ymin, xmax, ymax in ZONES
+    )
+    return (
+        f"SELECT patch_id, overlap_area FROM "
+        f"(SELECT patch_id, {terms} AS overlap_area FROM ({CAT}) cat) "
+        f"WHERE overlap_area > 0"
+    )
+
+
+def q_zone_distance(sf_dir: str):
+    """Distance-to-nearest-zone for every page point (0 inside a zone):
+    the proximity feature spatial samplers weight by. The min over zones
+    is taken on the EXACT squared distance (coordinate grid ⇒ products
+    representable), and the only rounding step is one final `sqrt` —
+    mirrored in SQL as SQRT(LEAST(...)), so floats hash-match."""
+    zones = np.asarray(ZONES)
+    cat = make_catalogue(sf_dir).select_columns(["patch_id", "x", "y"])
+
+    def _dist(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        best = np.full(len(x), np.inf)
+        for xmin, ymin, xmax, ymax in zones:
+            dx = np.maximum(np.maximum(xmin - x, x - xmax), 0.0)
+            dy = np.maximum(np.maximum(ymin - y, y - ymax), 0.0)
+            best = np.minimum(best, dx * dx + dy * dy)
+        return pa.table({"patch_id": t["patch_id"],
+                         "zone_dist": pa.array(np.sqrt(best))})
+
+    return cat.map_batches(_dist, batch_format="pyarrow")
+
+
+def _sql_zone_distance() -> str:
+    terms = ", ".join(
+        f"POWER(GREATEST({xmin} - x, x - {xmax}, 0), 2)"
+        f" + POWER(GREATEST({ymin} - y, y - {ymax}, 0), 2)"
+        for xmin, ymin, xmax, ymax in ZONES
+    )
+    return (
+        f"SELECT patch_id, SQRT(LEAST({terms})) AS zone_dist FROM ({CAT}) cat"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-scoring gate, cohort retention, LEAD window, wide→long reshape
+# ---------------------------------------------------------------------------
+
+# Integer-quantized linear quality gate: weights on the exact count
+# features (n_chars, n_tokens, n_punct, n_stopwords) + bias, decision at
+# margin > 0. Integer weights are the portability trick: the "model
+# inference" stays bit-exact in SQL, unlike a float sigmoid.
+QUALITY_W = (-1, 2, -10, 20)   # w_chars, w_tokens, w_punct, w_stopwords
+QUALITY_B = -40
+
+
+def q_quality_model(sf_dir: str):
+    """Model-scoring stage shape: a (broadcast-weights) linear classifier
+    over the exact quality count-features decides keep/drop per document.
+    The weight vector ships once via `ray.put`; each batch computes every
+    margin with ONE int64 matmul — the same plumbing a real quality
+    classifier (fastText-style) runs with, minus the float nonlinearity
+    (integer quantization keeps the decision oracle-checkable)."""
+    from .functions.text import quality_features
+
+    w_ref = ray.put((np.array(QUALITY_W, dtype=np.int64), np.int64(QUALITY_B)))
+
+    def _score(t: pa.Table) -> pa.Table:
+        w, b = ray.get(w_ref)
+        f = quality_features(t)
+        feats = np.stack([
+            f["n_chars"].to_numpy(zero_copy_only=False),
+            f["n_tokens"].to_numpy(zero_copy_only=False),
+            f["n_punct"].to_numpy(zero_copy_only=False),
+            f["n_stopwords"].to_numpy(zero_copy_only=False),
+        ], axis=1).astype(np.int64)
+        margin = feats @ w + b
+        return pa.table({
+            "doc_id": f["doc_id"],
+            "margin": pa.array(margin),
+            "keep": pa.array(margin > 0),
+        })
+
+    return _docs(sf_dir).map_batches(_score, batch_format="pyarrow")
+
+
+def _sql_quality_model() -> str:
+    from .functions.text import quality_features_sql
+
+    wc, wt, wp, ws = QUALITY_W
+    inner = quality_features_sql("documents")
+    return f"""
+SELECT doc_id,
+       {wc} * n_chars + {wt} * n_tokens + {wp} * n_punct
+       + {ws} * n_stopwords + {QUALITY_B} AS margin,
+       ({wc} * n_chars + {wt} * n_tokens + {wp} * n_punct
+        + {ws} * n_stopwords + {QUALITY_B}) > 0 AS keep
+FROM ({inner}) f
+"""
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: distinct active users per (cohort day =
+    the user's first day, activity day). Two vectorized stages sharing
+    ONE shuffle: users co-locate by hash bucket, each partition emits its
+    users' distinct (cohort, day) pairs from one sort + boundary scan;
+    the pair counts then pre-combine per block before a tiny Sum
+    groupby. Days are exact int64 (µs // 86.4e9) end to end."""
+    from ray.data.aggregate import Sum
+
+    from .stages.partitioning import grouped_batch_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // US_PER_DAY
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "day": day})
+        d = d.drop_duplicates().sort_values(["user_id", "day"],
+                                            kind="mergesort").reset_index(drop=True)
+        uid = d["user_id"].to_numpy()
+        n = len(d)
+        if not n:
+            return pd.DataFrame({"cohort_day": [], "day": [], "n": []})
+        new_u = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.arange(n, dtype=np.int64)[new_u]
+        lens = np.diff(np.r_[starts, n])
+        cohort = np.repeat(d["day"].to_numpy()[starts], lens)
+        out = pd.DataFrame({"cohort_day": cohort, "day": d["day"].to_numpy()})
+        return out.groupby(["cohort_day", "day"], sort=False).size().reset_index(name="n")
+
+    pairs = grouped_batch_map(ds, ["user_id"], _pairs)
+    return pairs.groupby(["cohort_day", "day"]).aggregate(Sum("n", alias_name="n"))
+
+
+SQL_COHORT_RETENTION = f"""
+WITH a AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) AS BIGINT) // {US_PER_DAY} AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id)
+SELECT cohort_day, day, COUNT(*) AS n
+FROM a JOIN f USING (user_id) GROUP BY cohort_day, day
+"""
+
+
+def q_events_lead(sf_dir: str):
+    """Windowed LEAD twin of `events_lag`: µs gap to the same user's NEXT
+    event (NULL on the last). Same one-shuffle partition-vectorized shape."""
+    from .stages.partitioning import grouped_batch_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def _lead(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        gap = np.empty(len(df), dtype=np.float64)
+        if len(df):
+            gap[-1] = np.nan
+            gap[:-1] = np.where(uid[1:] != uid[:-1], np.nan,
+                                (us[1:] - us[:-1]).astype(np.float64))
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": uid, "next_gap_us": gap})
+
+    return grouped_batch_map(ds, ["user_id"], _lead)
+
+
+SQL_EVENTS_LEAD = """
+SELECT event_id, user_id,
+       CAST(LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            - epoch_us(ts) AS DOUBLE) AS next_gap_us
+FROM events
+"""
+
+
+def q_unpivot_part(sf_dir: str):
+    """Wide→long reshape (UNPIVOT/melt): part's numeric attributes become
+    (p_partkey, attr, val) rows. Pure per-batch Arrow concat — the column
+    arrays are reused zero-copy, only the constant `attr` column is new;
+    no shuffle, output is exactly 2× the input rows."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+
+    def _melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.concat_tables([
+            pa.table({"p_partkey": t["p_partkey"],
+                      "attr": pa.array(["size"] * n),
+                      "val": pc.cast(t["p_size"], pa.float64())}),
+            pa.table({"p_partkey": t["p_partkey"],
+                      "attr": pa.array(["retailprice"] * n),
+                      "val": pc.cast(t["p_retailprice"], pa.float64())}),
+        ])
+
+    return ds.map_batches(_melt, batch_format="pyarrow")
+
+
+SQL_UNPIVOT_PART = """
+SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sampler pipelines (seeded/iterative — rows-only checks; conformance is
 # asserted by pytest per the reference's own test strategy, SURVEY.md §5)
 # ---------------------------------------------------------------------------
@@ -3732,6 +4032,13 @@ def build_queries() -> dict:
         "term_cooccur": q_term_cooccur,
         "csv_roundtrip": q_csv_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "cell_rollup": q_cell_rollup,
+        "zone_overlap_area": q_zone_overlap_area,
+        "zone_distance": q_zone_distance,
+        "quality_model": q_quality_model,
+        "cohort_retention": q_cohort_retention,
+        "events_lead": q_events_lead,
+        "unpivot_part": q_unpivot_part,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -3832,6 +4139,13 @@ def build_oracle_sql() -> dict:
         "term_cooccur": SQL_TERM_COOCCUR,
         "csv_roundtrip": SQL_CSV_ROUNDTRIP,
         "jsonl_roundtrip": _sql_jsonl_roundtrip(),
+        "cell_rollup": _sql_cell_rollup(),
+        "zone_overlap_area": _sql_zone_overlap_area(),
+        "zone_distance": _sql_zone_distance(),
+        "quality_model": _sql_quality_model(),
+        "cohort_retention": SQL_COHORT_RETENTION,
+        "events_lead": SQL_EVENTS_LEAD,
+        "unpivot_part": SQL_UNPIVOT_PART,
     }
 
 
