@@ -3917,6 +3917,267 @@ SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
 
 
 # ---------------------------------------------------------------------------
+# Regex extraction, set operations, TF-IDF, edit-distance near-dup
+# ---------------------------------------------------------------------------
+
+REGEX_NUM = "[0-9]+"
+
+
+def q_regex_extract(sf_dir: str):
+    """Structured field extraction: first number in each document, via the
+    RE2 engine both sides share (Arrow `extract_regex` / DuckDB
+    `regexp_extract` are both RE2 ⇒ identical leftmost-match semantics).
+    Non-matches become '' to mirror DuckDB. Pure per-batch C kernel."""
+    def _ext(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["text"], pattern=f"(?P<m>{REGEX_NUM})")
+        num = pc.fill_null(pc.struct_field(m, "m"), "")
+        return pa.table({"doc_id": t["doc_id"], "num": num})
+
+    return _docs(sf_dir).map_batches(_ext, batch_format="pyarrow")
+
+
+SQL_REGEX_EXTRACT = f"""
+SELECT doc_id, regexp_extract(text, '{REGEX_NUM}') AS num FROM documents
+"""
+
+
+def q_source_intersect(sf_dir: str):
+    """INTERSECT (distinct set semantics): (lang, n_chars) profiles that
+    occur among BOTH even- and odd-keyed documents. Each side distincts
+    through a Count groupby (per-batch combiner included), then one
+    native hash join aligns the two key sets — no broadcast, both sides
+    scale."""
+    from ray.data.aggregate import Count
+
+    from .stages.partitioning import scrub_empty_blocks
+
+    def _side(parity: int):
+        return scrub_empty_blocks(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+            ).map_batches(
+                lambda t, p=parity: t.filter(
+                    pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
+                ).select(["lang", "n_chars"]),
+                batch_format="pyarrow")
+            .groupby(["lang", "n_chars"]).aggregate(Count(alias_name="c"))
+            .select_columns(["lang", "n_chars"])
+        )
+
+    a, b = _side(0), _side(1)
+    j = a.join(b, join_type="left_semi", num_partitions=pick_partitions(a, b),
+               on=("lang", "n_chars"))
+    return j
+
+
+SQL_SOURCE_INTERSECT = """
+SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 0
+INTERSECT
+SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+def q_source_except(sf_dir: str):
+    """EXCEPT (distinct set semantics): even-side (lang, n_chars)
+    profiles absent from the odd side — the same two distincted sides
+    through a native LEFT ANTI hash join."""
+    from ray.data.aggregate import Count
+
+    from .stages.partitioning import scrub_empty_blocks
+
+    def _side(parity: int):
+        return scrub_empty_blocks(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+            ).map_batches(
+                lambda t, p=parity: t.filter(
+                    pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
+                ).select(["lang", "n_chars"]),
+                batch_format="pyarrow")
+            .groupby(["lang", "n_chars"]).aggregate(Count(alias_name="c"))
+            .select_columns(["lang", "n_chars"])
+        )
+
+    a, b = _side(0), _side(1)
+    return a.join(b, join_type="left_anti", num_partitions=pick_partitions(a, b),
+                  on=("lang", "n_chars"))
+
+
+SQL_SOURCE_EXCEPT = """
+SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 0
+EXCEPT
+SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+TFIDF_TOPK = 3
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Per-document top-3 TF-IDF terms — the canonical text-analytics
+    join: a per-(doc, term) TF table (per-batch explode + local counts)
+    hash-joined against the global per-term DF table (distinct-doc
+    combiner → Sum groupby), scored as ONE division of exact ints
+    (tf·N / df — the monotone surrogate of tf·log(N/df); `log` is not
+    bit-portable across libms, the rational score is), then the per-doc
+    top-3 via one hash-bucket shuffle + partition-level sort. Every
+    stage pre-combines; the only all-to-alls are the term join and the
+    final doc bucketing."""
+    from ray.data.aggregate import Sum
+
+    from .stages.partitioning import grouped_batch_map
+
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+
+    def _tf(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lens = np.diff(toks.offsets.to_numpy())
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        df = pd.DataFrame({"doc_id": doc,
+                           "term": pc.list_flatten(toks).to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf"),
+            preserve_index=False)
+
+    tf = _docs(sf_dir).map_batches(_tf, batch_format="pyarrow")
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        # t is already distinct per (doc, term) — one row per term occurrence set
+        vc = pa.TableGroupBy(t.select(["term"]), "term").aggregate([([], "count_all")])
+        return vc.rename_columns(["term", "df"])
+
+    dfreq = (
+        tf.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("df", alias_name="df"))
+    )
+    j = tf.join(dfreq, join_type="inner",
+                num_partitions=pick_partitions(tf, dfreq), on=("term",))
+
+    def _score(t: pa.Table) -> pa.Table:
+        tf_ = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_ = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = (tf_ * n_docs).astype(np.float64) / df_
+        return pa.table({"doc_id": t["doc_id"], "term": t["term"],
+                         "score": pa.array(score)})
+
+    scored = j.map_batches(_score, batch_format="pyarrow")
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True],
+                            kind="mergesort").reset_index(drop=True)
+        doc = df["doc_id"].to_numpy()
+        n = len(df)
+        if not n:
+            return df
+        idx = np.arange(n, dtype=np.int64)
+        new_d = np.r_[True, doc[1:] != doc[:-1]]
+        gs = np.maximum.accumulate(np.where(new_d, idx, 0))
+        return df.loc[idx - gs < TFIDF_TOPK]
+
+    return grouped_batch_map(scored, ["doc_id"], _topk)
+
+
+SQL_TFIDF_TOPK = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             CAST(tf.tf * n.n AS DOUBLE) / df.df AS score
+      FROM tf CROSS JOIN n JOIN df USING (term))
+SELECT doc_id, term, score FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term) <= {TFIDF_TOPK}
+"""
+
+
+EDIT_MAX = 40
+
+
+def edit_distance_batch(a_texts, b_texts) -> np.ndarray:
+    """Levenshtein distances for candidate pairs (unit costs, DuckDB
+    `levenshtein` parity). Vectorized over the DP row: the left-neighbor
+    dependency collapses to j + cummin(row - j) (cost-plus-distance
+    relaxation), so each row is O(len) numpy, not a Python cell loop.
+    Per-PAIR Python is justified here: the input is the (tiny) verified
+    candidate set, never the corpus."""
+    out = np.empty(len(a_texts), dtype=np.int64)
+    for i, (a, b) in enumerate(zip(a_texts, b_texts)):
+        if a == b:
+            out[i] = 0
+            continue
+        ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+        cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+        if not len(ca) or not len(cb):
+            out[i] = max(len(ca), len(cb))
+            continue
+        jj = np.arange(len(cb) + 1, dtype=np.int64)
+        prev = jj.copy()
+        for r, ch in enumerate(ca, 1):
+            cur = np.empty_like(prev)
+            cur[0] = r
+            sub = prev[:-1] + (cb != ch)
+            dele = prev[1:] + 1
+            cur[1:] = np.minimum(sub, dele)
+            cur = np.minimum.accumulate(cur - jj) + jj
+            prev = cur
+        out[i] = prev[-1]
+    return out
+
+
+def q_edit_neardup(sf_dir: str):
+    """Fuzzy dedup, the third near-dup family (after Jaccard and
+    SimHash): SimHash banding proposes candidates (pigeonhole-exact at
+    hamming ≤ 3), two hash joins attach both texts, and the verify stage
+    computes true Levenshtein distance per candidate — character-level
+    edit tolerance that token-level sketches can't express. Keeps pairs
+    with distance ≤ 40."""
+    from .functions.dedup import simhash_neardup_pairs
+
+    pairs = simhash_neardup_pairs(_docs(sf_dir), max_hamming=HAMMING_D)
+    pairs = pairs.map_batches(lambda df: df[["doc_a", "doc_b"]],
+                              batch_format="pandas")
+    docs = _docs(sf_dir)
+    pa_join = pairs.join(docs, join_type="inner",
+                         num_partitions=pick_partitions(pairs, docs),
+                         on=("doc_a",), right_on=("doc_id",))
+    pa_join = pa_join.map_batches(
+        lambda t: pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                            "text_a": t["text"]}),
+        batch_format="pyarrow")
+    pb_join = pa_join.join(docs, join_type="inner",
+                           num_partitions=pick_partitions(pa_join, docs),
+                           on=("doc_b",), right_on=("doc_id",))
+
+    def _verify(t: pa.Table) -> pa.Table:
+        d = edit_distance_batch(t["text_a"].to_pylist(), t["text"].to_pylist())
+        keep = d <= EDIT_MAX
+        return pa.table({
+            "doc_a": t["doc_a"].filter(pa.array(keep)),
+            "doc_b": t["doc_b"].filter(pa.array(keep)),
+            "dist": pa.array(d[keep]),
+        })
+
+    return pb_join.map_batches(_verify, batch_format="pyarrow")
+
+
+def _sql_edit_neardup() -> str:
+    from .functions.dedup import simhash_neardup_sql
+
+    inner = simhash_neardup_sql("documents", max_hamming=HAMMING_D)
+    return f"""
+WITH pairs AS ({inner})
+SELECT doc_a, doc_b, CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM pairs JOIN documents a ON doc_a = a.doc_id
+           JOIN documents b ON doc_b = b.doc_id
+WHERE levenshtein(a.text, b.text) <= {EDIT_MAX}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sampler pipelines (seeded/iterative — rows-only checks; conformance is
 # asserted by pytest per the reference's own test strategy, SURVEY.md §5)
 # ---------------------------------------------------------------------------
@@ -4039,6 +4300,11 @@ def build_queries() -> dict:
         "cohort_retention": q_cohort_retention,
         "events_lead": q_events_lead,
         "unpivot_part": q_unpivot_part,
+        "regex_extract": q_regex_extract,
+        "source_intersect": q_source_intersect,
+        "source_except": q_source_except,
+        "tfidf_topk": q_tfidf_topk,
+        "edit_neardup": q_edit_neardup,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -4146,6 +4412,11 @@ def build_oracle_sql() -> dict:
         "cohort_retention": SQL_COHORT_RETENTION,
         "events_lead": SQL_EVENTS_LEAD,
         "unpivot_part": SQL_UNPIVOT_PART,
+        "regex_extract": SQL_REGEX_EXTRACT,
+        "source_intersect": SQL_SOURCE_INTERSECT,
+        "source_except": SQL_SOURCE_EXCEPT,
+        "tfidf_topk": SQL_TFIDF_TOPK,
+        "edit_neardup": _sql_edit_neardup(),
     }
 
 
