@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.partitioning import pick_partitions
+from ..stages.partitioning import pick_group_partitions, pick_partitions
 
 MD5_HEX = 15  # 60-bit hashes: fit signed int64 in both numpy and DuckDB
 P31 = 2_147_483_647  # Mersenne prime 2^31-1 for minhash permutations
@@ -145,7 +145,8 @@ def ngram_jaccard_pairs(ds, n: int = 3, tau: float = 0.5,
         # avoids a second full join just to apply the cap.
         import ray as _ray
 
-        dfreq = grams.groupby("gram").aggregate(Count(alias_name="df"))
+        dfreq = grams.groupby("gram", num_partitions=pick_partitions(grams)) \
+            .aggregate(Count(alias_name="df"))
         hot = dfreq.filter(expr=f"df > {int(max_doc_freq)}") \
                    .select_columns(["gram"]).to_pandas()
         hot_list = hot["gram"].tolist() if "gram" in hot.columns else []
@@ -181,9 +182,13 @@ def ngram_jaccard_pairs(ds, n: int = 3, tau: float = 0.5,
         lambda t: t.filter(pc.less(t["doc_a"], t["doc_b"])).select(["doc_a", "doc_b"]),
         batch_format="pyarrow",
     )
-    inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter"))
-    sa = grams.groupby(id_col).aggregate(Count(alias_name="na"))
-    sb = grams.groupby(id_col).aggregate(Count(alias_name="nb"))
+    inter = pairs.groupby(["doc_a", "doc_b"],
+                          num_partitions=pick_partitions(pairs)) \
+        .aggregate(Count(alias_name="inter"))
+    sa = grams.groupby(id_col, num_partitions=pick_partitions(grams)) \
+        .aggregate(Count(alias_name="na"))
+    sb = grams.groupby(id_col, num_partitions=pick_partitions(grams)) \
+        .aggregate(Count(alias_name="nb"))
     nparts = pick_partitions(grams)
     j = inter.join(
         sa, join_type="inner", num_partitions=nparts, on=("doc_a",), right_on=(id_col,)
@@ -334,7 +339,9 @@ def minhash_lsh_pairs(ds, num_perm: int = 128, bands: int = 32, n: int = 3,
     # One vectorized Count aggregate finds the >= 2-member buckets; their
     # keys broadcast into a per-batch is_in filter, so map_groups only ever
     # sees genuine collision buckets.
-    counts = sigs.groupby(["band", "bucket"]).aggregate(Count(alias_name="c"))
+    counts = sigs.groupby(["band", "bucket"],
+                          num_partitions=pick_partitions(sigs)) \
+        .aggregate(Count(alias_name="c"))
     hot = counts.filter(expr="c >= 2").select_columns(["band", "bucket"]).to_pandas()
     if not len(hot):
         return _ray.data.from_pandas(pd.DataFrame({
@@ -369,16 +376,18 @@ def minhash_lsh_pairs(ds, num_perm: int = 128, bands: int = 32, n: int = 3,
         return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
                              "est_jaccard": est[keep]})
 
-    pairs = cand.groupby(["band", "bucket"]).map_groups(_bucket_pairs, batch_format="pandas")
+    pairs = cand.groupby(["band", "bucket"],
+                         num_partitions=pick_group_partitions(cand)) \
+        .map_groups(_bucket_pairs, batch_format="pandas")
     # A pair colliding in k bands appears k times with an identical est —
     # dedup is a vectorized Min aggregate, not a per-group head(1).
     # scrub: the map_groups→aggregate chain emits schema-less zero-row
     # blocks that poison any downstream join (see scrub_empty_blocks).
     from ..stages.partitioning import scrub_empty_blocks
 
-    return scrub_empty_blocks(pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("est_jaccard", alias_name="est_jaccard")
-    ))
+    return scrub_empty_blocks(pairs.groupby(
+        ["doc_a", "doc_b"], num_partitions=pick_partitions(pairs)
+    ).aggregate(Min("est_jaccard", alias_name="est_jaccard")))
 
 
 # ---------------------------------------------------------------------------
@@ -482,7 +491,9 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, bands: int = 4,
     import ray as _ray
     from ray.data.aggregate import Count
 
-    counts = exploded.groupby(["band", "key"]).aggregate(Count(alias_name="c"))
+    counts = exploded.groupby(["band", "key"],
+                              num_partitions=pick_partitions(exploded)) \
+        .aggregate(Count(alias_name="c"))
     hot = counts.filter(expr="c >= 2").select_columns(["band", "key"]).to_pandas()
     if not len(hot):
         return _ray.data.from_pandas(pd.DataFrame({
@@ -522,7 +533,9 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, bands: int = 4,
         return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
                              "hamming": ham[keep]})
 
-    pairs = exploded.groupby(["band", "key"]).map_groups(_pairs, batch_format="pandas")
+    pairs = exploded.groupby(["band", "key"],
+                             num_partitions=pick_group_partitions(exploded)) \
+        .map_groups(_pairs, batch_format="pandas")
 
     # A pair colliding in k bands appears k times with identical hamming —
     # dedup is a vectorized Min aggregate, not a per-group Python callback.
@@ -532,9 +545,9 @@ def simhash_neardup_pairs(ds, max_hamming: int = 3, bands: int = 4,
 
     # scrub: see scrub_empty_blocks — this chain's empty reduce partitions
     # produce schema-less blocks that crash the component-labeling joins.
-    return scrub_empty_blocks(pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    ))
+    return scrub_empty_blocks(pairs.groupby(
+        ["doc_a", "doc_b"], num_partitions=pick_partitions(pairs)
+    ).aggregate(Min("hamming", alias_name="hamming")))
 
 
 def simhash_neardup_sql(table: str, max_hamming: int = 3,
@@ -786,7 +799,8 @@ def distinct_hll(ds, col: str = "text") -> pd.DataFrame:
     from ray.data.aggregate import Max
 
     merged = ds.map_batches(_partial, batch_format="pyarrow") \
-               .groupby("j").aggregate(Max("m", alias_name="m")).to_pandas()
+               .groupby("j", num_partitions=pick_partitions(ds)) \
+               .aggregate(Max("m", alias_name="m")).to_pandas()
     regs = np.zeros(HLL_M, dtype=np.int64)
     regs[merged["j"].to_numpy()] = merged["m"].to_numpy()
     # exact integer S = Σ 2^(B - M_j); M_j = 0 (empty register) contributes
@@ -862,7 +876,9 @@ def grouped_distinct_hll(ds, group_col: str, col: str):
         return out.groupby([group_col, "j"], sort=False, as_index=False)["m"].max()
 
     regs = ds.map_batches(_partial, batch_format="pandas") \
-             .groupby([group_col, "j"]).aggregate(Max("m", alias_name="m"))
+             .groupby([group_col, "j"],
+                      num_partitions=pick_partitions(ds)) \
+             .aggregate(Max("m", alias_name="m"))
 
     def _weights(df: pd.DataFrame) -> pd.DataFrame:
         df["w"] = np.int64(1) << (b + 1 - df["m"].to_numpy())

@@ -260,8 +260,8 @@ def embed_neardup_lsh(ds, tau: float = 0.4, n_tables: int = 24, bits: int = 5,
     """
     from ray.data.aggregate import Count, Min
 
-    from ..stages.partitioning import (estimated_size_bytes,
-                                       grouped_batch_map, pick_partitions)
+    from ..stages.partitioning import (estimated_size_bytes, grouped_batch_map,
+                                       pick_group_partitions, pick_partitions)
 
     dim = len(ds.take(1)[0][emb_col])
 
@@ -303,7 +303,9 @@ def embed_neardup_lsh(ds, tau: float = 0.4, n_tables: int = 24, bits: int = 5,
             return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
                                  "cos": cos[ia, ib][keep]})
 
-        pairs = sigs.groupby(["tab", "key"]).map_groups(_verify, batch_format="pandas")
+        pairs = sigs.groupby(["tab", "key"],
+                             num_partitions=pick_group_partitions(sigs)) \
+            .map_groups(_verify, batch_format="pandas")
 
         # A pair found in k tables appears k times with an identical cos —
         # dedup is a vectorized Min aggregate, not a per-group Python callback.
@@ -312,7 +314,9 @@ def embed_neardup_lsh(ds, tau: float = 0.4, n_tables: int = 24, bits: int = 5,
         from ..stages.partitioning import scrub_empty_blocks
 
         return scrub_empty_blocks(
-            pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("cos", alias_name="cos"))
+            pairs.groupby(["doc_a", "doc_b"],
+                          num_partitions=pick_partitions(pairs))
+            .aggregate(Min("cos", alias_name="cos"))
         )
 
     # ---- join path: no resident corpus replica anywhere ----
@@ -321,7 +325,9 @@ def embed_neardup_lsh(ds, tau: float = 0.4, n_tables: int = 24, bits: int = 5,
     # Singleton buckets dominate and can't produce pairs: one Count
     # aggregate finds the >= 2-member buckets, broadcast into an is_in
     # filter (same prefilter as minhash_lsh_pairs).
-    counts = sigs.groupby(["tab", "key"]).aggregate(Count(alias_name="c"))
+    counts = sigs.groupby(["tab", "key"],
+                          num_partitions=pick_partitions(sigs)) \
+        .aggregate(Count(alias_name="c"))
     hot = counts.filter(expr="c >= 2").select_columns(["tab", "key"]).to_pandas()
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                           "doc_b": pd.Series([], dtype=np.int64),

@@ -40,6 +40,7 @@ import pyarrow.parquet as pq
 
 from ..hashing import hmix
 from ..sources.pages import extract_text_from_html
+from ..stages.partitioning import pick_group_partitions
 
 SAMPLING_REQUIRED = {"url": pa.string(), "split": pa.string(), "html": pa.binary()}
 
@@ -208,7 +209,8 @@ def run_extraction(sampling_ds, dataset_root: str | Path, num_shards: int = 16,
         )
 
     written = (
-        sharded.groupby(["split", "__shard"])
+        sharded.groupby(["split", "__shard"],
+                        num_partitions=pick_group_partitions(sharded))
         .map_groups(_write_partition, batch_format="pandas")
         .to_pandas()
     )

@@ -185,7 +185,7 @@ def q_grouped_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     cat = make_catalogue(sf_dir).select_columns(["file_id", "nb_total"])
-    out = cat.groupby("file_id").aggregate(
+    out = cat.groupby("file_id", num_partitions=pick_partitions(cat)).aggregate(
         Count(alias_name="num_patches"), Sum("nb_total", alias_name="sum_nb_total")
     )
     return out.map_batches(
@@ -233,7 +233,8 @@ def q_bool_or(sf_dir: str):
         ).drop_columns("test"),
         batch_format="pyarrow",
     )
-    return flagged.groupby("file_id").aggregate(Max("t_int", alias_name="any_test"))
+    return flagged.groupby("file_id", num_partitions=pick_partitions(flagged)).aggregate(
+        Max("t_int", alias_name="any_test"))
 
 
 SQL_BOOL_OR = (
@@ -912,7 +913,7 @@ def q_events_window(sf_dir: str):
 
     out = (
         ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "win"])
+        .groupby(["event_type", "win"], num_partitions=pick_partitions(ds))
         .aggregate(
             Sum("n_events", alias_name="n_events"),
             Min("min_value", alias_name="min_value"),
@@ -968,7 +969,7 @@ def q_events_hopping(sf_dir: str):
 
     out = (
         ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "win"])
+        .groupby(["event_type", "win"], num_partitions=pick_partitions(ds))
         .aggregate(
             Sum("n_events", alias_name="n_events"),
             Min("min_value", alias_name="min_value"),
@@ -1401,7 +1402,8 @@ def q_top_terms(sf_dir: str):
         return vc.rename_columns(["term", "n"])
 
     counts = _docs(sf_dir).map_batches(_local_counts, batch_format="pyarrow")
-    total = counts.groupby("term").aggregate(Sum("n", alias_name="n"))
+    total = counts.groupby("term", num_partitions=pick_partitions(counts)).aggregate(
+        Sum("n", alias_name="n"))
 
     def _local_topk(t: pa.Table) -> pa.Table:
         if t.num_rows <= TOP_TERMS_K:
@@ -1865,7 +1867,8 @@ def q_range_join(sf_dir: str):
             "qty": pa.array(t["l_quantity"].to_numpy(zero_copy_only=False)[ok]),
         })
 
-    agg = ds.map_batches(_probe, batch_format="pyarrow").groupby("band") \
+    agg = ds.map_batches(_probe, batch_format="pyarrow") \
+            .groupby("band", num_partitions=pick_partitions(ds)) \
             .aggregate(Count(alias_name="n"), Sum("qty", alias_name="sum_qty"))
 
     def _bounds(df: pd.DataFrame) -> pd.DataFrame:
@@ -1925,7 +1928,7 @@ def q_semi_join(sf_dir: str):
         return t.filter(pa.array(hit))
 
     return ds.map_batches(_semi, batch_format="pyarrow") \
-             .groupby("l_returnflag") \
+             .groupby("l_returnflag", num_partitions=pick_partitions(ds)) \
              .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
 
 
@@ -1949,12 +1952,12 @@ def q_semi_join_shuffle(sf_dir: str):
 
     from .stages.partitioning import scrub_empty_blocks
 
+    raw = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).filter(expr=f"o_totalprice > {HIGH_ORDER_PRICE}").select_columns(["o_orderkey"])
     keys = scrub_empty_blocks(
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
-        ).filter(expr=f"o_totalprice > {HIGH_ORDER_PRICE}")
-        .select_columns(["o_orderkey"])
-        .groupby("o_orderkey").aggregate(Count(alias_name="c"))
+        raw.groupby("o_orderkey", num_partitions=pick_partitions(raw))
+        .aggregate(Count(alias_name="c"))
     )
 
     ds = ray.data.read_parquet(
@@ -1964,7 +1967,7 @@ def q_semi_join_shuffle(sf_dir: str):
     kept = ds.join(keys, join_type="left_semi",
                    num_partitions=pick_partitions(ds, keys),
                    on=("l_orderkey",), right_on=("o_orderkey",))
-    return kept.groupby("l_returnflag") \
+    return kept.groupby("l_returnflag", num_partitions=pick_partitions(kept)) \
                .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
 
 
@@ -2005,7 +2008,7 @@ def q_full_join(sf_dir: str):
 
     agg = scrub_empty_blocks(
         orders.map_batches(_combine, batch_format="pyarrow")
-              .groupby("o_custkey")
+              .groupby("o_custkey", num_partitions=pick_partitions(orders))
               .aggregate(Sum("spent_c", alias_name="spent_c"),
                          Sum("n", alias_name="n"))
     )
@@ -2064,7 +2067,7 @@ def q_bloom_anti_join(sf_dir: str):
         columns=["l_orderkey", "l_returnflag", "l_quantity"],
     )
     kept = bloom_anti_join(ds, "l_orderkey", high, "o_orderkey")
-    return kept.groupby("l_returnflag") \
+    return kept.groupby("l_returnflag", num_partitions=pick_partitions(kept)) \
                .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
 
 
@@ -2114,7 +2117,8 @@ def q_doc_rarity(sf_dir: str):
     totals = scrub_empty_blocks(
         pairs.map_batches(
             lambda t: _local_counts(t), batch_format="pyarrow"
-        ).groupby("term").aggregate(Sum("n", alias_name="n"))
+        ).groupby("term", num_partitions=pick_partitions(pairs))
+        .aggregate(Sum("n", alias_name="n"))
     )
 
     joined = pairs.join(totals, join_type="inner",
@@ -2129,7 +2133,7 @@ def q_doc_rarity(sf_dir: str):
         })
 
     agg = joined.map_batches(_weights, batch_format="pyarrow") \
-                .groupby("doc_id") \
+                .groupby("doc_id", num_partitions=pick_partitions(joined)) \
                 .aggregate(Sum("w", alias_name="freq_sum"),
                            Sum("m", alias_name="n_tokens"))
 
@@ -2222,7 +2226,8 @@ def q_substring_dedup(sf_dir: str):
     # aggregate output feeding a join: scrub schema-less empty blocks
     counts = scrub_empty_blocks(
         wins.map_batches(_local, batch_format="pyarrow")
-            .groupby("h").aggregate(Sum("cnt", alias_name="cnt"))
+            .groupby("h", num_partitions=pick_partitions(wins))
+            .aggregate(Sum("cnt", alias_name="cnt"))
     )
 
     joined = wins.join(counts, join_type="inner",
@@ -2237,7 +2242,7 @@ def q_substring_dedup(sf_dir: str):
                          "n_dup_windows": pa.array(dup, type=pa.int64())})
 
     return joined.map_batches(_tally, batch_format="pyarrow") \
-                 .groupby("doc_id") \
+                 .groupby("doc_id", num_partitions=pick_partitions(joined)) \
                  .aggregate(Sum("n_windows", alias_name="n_windows"),
                             Sum("n_dup_windows", alias_name="n_dup_windows"))
 
@@ -2438,7 +2443,7 @@ def q_pivot(sf_dir: str):
         return out.groupby("o_orderpriority", sort=False, as_index=False).sum()
 
     return ds.map_batches(_partial, batch_format="pandas") \
-             .groupby("o_orderpriority") \
+             .groupby("o_orderpriority", num_partitions=pick_partitions(ds)) \
              .aggregate(Sum("n_open", alias_name="n_open"),
                         Sum("n_finished", alias_name="n_finished"),
                         Sum("n_pending", alias_name="n_pending"),
@@ -2478,7 +2483,8 @@ def q_mode_flag(sf_dir: str):
         return vc.rename_columns(["l_partkey", "l_returnflag", "cnt"])
 
     counts = ds.map_batches(_partial, batch_format="pyarrow") \
-               .groupby(["l_partkey", "l_returnflag"]) \
+               .groupby(["l_partkey", "l_returnflag"],
+                        num_partitions=pick_partitions(ds)) \
                .aggregate(Sum("cnt", alias_name="cnt"))
 
     def _argmax(df: pd.DataFrame) -> pd.DataFrame:
@@ -2547,7 +2553,8 @@ def q_cross_source(sf_dir: str):
         return vc.select(["fingerprint", "source"])
 
     pairs = both.map_batches(_pairs, batch_format="pyarrow") \
-                .groupby(["fingerprint", "source"]) \
+                .groupby(["fingerprint", "source"],
+                         num_partitions=pick_partitions(both)) \
                 .aggregate(Count(alias_name="c"))
 
     def _local(t: pa.Table) -> pa.Table:
@@ -2556,7 +2563,8 @@ def q_cross_source(sf_dir: str):
         return vc.rename_columns(["fingerprint", "ns"])
 
     return pairs.map_batches(_local, batch_format="pyarrow") \
-                .groupby("fingerprint").aggregate(Sum("ns", alias_name="n_sources")) \
+                .groupby("fingerprint", num_partitions=pick_partitions(pairs)) \
+                .aggregate(Sum("ns", alias_name="n_sources")) \
                 .filter(expr="n_sources >= 2")
 
 
@@ -2608,7 +2616,8 @@ def q_distinctive_terms(sf_dir: str):
 
     dfreq = scrub_empty_blocks(
         pairs.map_batches(_local_df, batch_format="pyarrow")
-             .groupby("term").aggregate(Sum("d", alias_name="df"))
+             .groupby("term", num_partitions=pick_partitions(pairs))
+             .aggregate(Sum("d", alias_name="df"))
     )
 
     joined = pairs.join(dfreq, join_type="inner",
@@ -2716,7 +2725,7 @@ def q_contamination(sf_dir: str):
 
     agg = wins.map_batches(_corpus_side, batch_format="pyarrow") \
               .map_batches(_probe, batch_format="pyarrow") \
-              .groupby("doc_id") \
+              .groupby("doc_id", num_partitions=pick_partitions(wins)) \
               .aggregate(Sum("n_windows", alias_name="n_windows"),
                          Sum("n_contaminated", alias_name="n_contaminated"))
 
@@ -2802,7 +2811,8 @@ def q_contamination_join(sf_dir: str):
 
     bench = scrub_empty_blocks(
         wins.map_batches(_bench_local, batch_format="pyarrow")
-            .groupby("h").aggregate(Count(alias_name="bc"))
+            .groupby("h", num_partitions=pick_partitions(wins))
+            .aggregate(Count(alias_name="bc"))
     )
 
     def _corpus(t: pa.Table) -> pa.Table:
@@ -2822,7 +2832,7 @@ def q_contamination_join(sf_dir: str):
                              "n_contaminated": np.where(hit, m, 0)})
 
     agg = joined.map_batches(_tally, batch_format="pandas") \
-                .groupby("doc_id") \
+                .groupby("doc_id", num_partitions=pick_partitions(joined)) \
                 .aggregate(Sum("n_windows", alias_name="n_windows"),
                            Sum("n_contaminated", alias_name="n_contaminated"))
 
@@ -2867,7 +2877,7 @@ def q_left_join(sf_dir: str):
     # hash-aggregate emits for empty reduce partitions (see scrub_empty_blocks)
     agg = scrub_empty_blocks(
         orders.map_batches(_combine, batch_format="pyarrow")
-              .groupby("o_custkey")
+              .groupby("o_custkey", num_partitions=pick_partitions(orders))
               .aggregate(Sum("spent_c", alias_name="spent_c"),
                          Sum("n", alias_name="n"))
     )
@@ -2929,7 +2939,7 @@ def q_grouped_corr(sf_dir: str):
         return out.groupby("l_returnflag", sort=False, as_index=False).sum()
 
     agg = ds.map_batches(_partial, batch_format="pandas") \
-            .groupby("l_returnflag") \
+            .groupby("l_returnflag", num_partitions=pick_partitions(ds)) \
             .aggregate(*[Sum(c, alias_name=c)
                          for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
 
@@ -2989,7 +2999,7 @@ def q_grouped_histogram(sf_dir: str):
         return out.groupby(["event_type", "bin"], sort=False, as_index=False).sum()
 
     agg = ds.map_batches(_partial, batch_format="pandas") \
-            .groupby(["event_type", "bin"]) \
+            .groupby(["event_type", "bin"], num_partitions=pick_partitions(ds)) \
             .aggregate(Sum("n", alias_name="n"))
 
     def _edges(df: pd.DataFrame) -> pd.DataFrame:
@@ -3044,7 +3054,8 @@ def q_funnel(sf_dir: str):
         return out.groupby("funnel_depth", sort=False, as_index=False).sum()
 
     per_bucket = grouped_batch_map(ds, ["user_id"], _depth)
-    return per_bucket.groupby("funnel_depth").aggregate(
+    return per_bucket.groupby("funnel_depth",
+                              num_partitions=pick_partitions(per_bucket)).aggregate(
         Sum("n_users", alias_name="n_users")
     )
 
@@ -3469,9 +3480,10 @@ def q_term_cooccur(sf_dir: str):
             [([], "count_all")])
         return vc.rename_columns(["term", "n"])
 
+    raw = _docs(sf_dir).map_batches(_local_counts, batch_format="pyarrow")
     counts = (
-        _docs(sf_dir).map_batches(_local_counts, batch_format="pyarrow")
-        .groupby("term").aggregate(Sum("n", alias_name="n"))
+        raw.groupby("term", num_partitions=pick_partitions(raw))
+        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
     counts = counts.sort_values(["n", "term"], ascending=[False, True],
@@ -3649,7 +3661,8 @@ def q_cell_rollup(sf_dir: str):
 
     tot = (
         cat.map_batches(_counts, batch_format="pyarrow")
-        .groupby(["level", "key"]).aggregate(Sum("n", alias_name="n"))
+        .groupby(["level", "key"], num_partitions=pick_partitions(cat))
+        .aggregate(Sum("n", alias_name="n"))
     )
     return tot
 
@@ -3841,7 +3854,9 @@ def q_cohort_retention(sf_dir: str):
         return out.groupby(["cohort_day", "day"], sort=False).size().reset_index(name="n")
 
     pairs = grouped_batch_map(ds, ["user_id"], _pairs)
-    return pairs.groupby(["cohort_day", "day"]).aggregate(Sum("n", alias_name="n"))
+    return pairs.groupby(["cohort_day", "day"],
+                         num_partitions=pick_partitions(pairs)).aggregate(
+        Sum("n", alias_name="n"))
 
 
 SQL_COHORT_RETENTION = f"""
@@ -3952,15 +3967,17 @@ def q_source_intersect(sf_dir: str):
     from .stages.partitioning import scrub_empty_blocks
 
     def _side(parity: int):
+        raw = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        ).map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
+            ).select(["lang", "n_chars"]),
+            batch_format="pyarrow")
         return scrub_empty_blocks(
-            ray.data.read_parquet(
-                f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
-            ).map_batches(
-                lambda t, p=parity: t.filter(
-                    pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
-                ).select(["lang", "n_chars"]),
-                batch_format="pyarrow")
-            .groupby(["lang", "n_chars"]).aggregate(Count(alias_name="c"))
+            raw.groupby(["lang", "n_chars"],
+                        num_partitions=pick_partitions(raw))
+            .aggregate(Count(alias_name="c"))
             .select_columns(["lang", "n_chars"])
         )
 
@@ -3986,15 +4003,17 @@ def q_source_except(sf_dir: str):
     from .stages.partitioning import scrub_empty_blocks
 
     def _side(parity: int):
+        raw = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        ).map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
+            ).select(["lang", "n_chars"]),
+            batch_format="pyarrow")
         return scrub_empty_blocks(
-            ray.data.read_parquet(
-                f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
-            ).map_batches(
-                lambda t, p=parity: t.filter(
-                    pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
-                ).select(["lang", "n_chars"]),
-                batch_format="pyarrow")
-            .groupby(["lang", "n_chars"]).aggregate(Count(alias_name="c"))
+            raw.groupby(["lang", "n_chars"],
+                        num_partitions=pick_partitions(raw))
+            .aggregate(Count(alias_name="c"))
             .select_columns(["lang", "n_chars"])
         )
 
@@ -4050,7 +4069,8 @@ def q_tfidf_topk(sf_dir: str):
 
     dfreq = (
         tf.map_batches(_df_partial, batch_format="pyarrow")
-        .groupby("term").aggregate(Sum("df", alias_name="df"))
+        .groupby("term", num_partitions=pick_partitions(tf))
+        .aggregate(Sum("df", alias_name="df"))
     )
     j = tf.join(dfreq, join_type="inner",
                 num_partitions=pick_partitions(tf, dfreq), on=("term",))

@@ -38,6 +38,7 @@ from ..catalogue import PATCH_INFO
 from ..stages.normalize import normalize_dataset
 from .algos import fps
 from .base import FILE_ID_COLNAME, PATCH_ID_COLNAME, Sampler
+from ..stages.partitioning import pick_group_partitions
 
 
 def assign_positions(ds, strata: str = FILE_ID_COLNAME, id_col: str = PATCH_ID_COLNAME,
@@ -60,7 +61,8 @@ def assign_positions(ds, strata: str = FILE_ID_COLNAME, id_col: str = PATCH_ID_C
         g[pos_col] = offs[g[strata].iloc[0]] + np.arange(len(g), dtype=np.int64)
         return g
 
-    return ds.groupby(strata).map_groups(_stamp, batch_format="pandas")
+    return ds.groupby(strata, num_partitions=pick_group_partitions(ds)) \
+             .map_groups(_stamp, batch_format="pandas")
 
 
 class DiversitySampler(Sampler):
@@ -128,7 +130,9 @@ class DiversitySampler(Sampler):
 
         chunked = ds.map_batches(_add_chunk, batch_format="pyarrow", zero_copy_batch=True)
         selected = (
-            chunked.groupby("__chunk_id").map_groups(_chunk_fps, batch_format="pandas").to_pandas()
+            chunked.groupby("__chunk_id",
+                            num_partitions=pick_group_partitions(chunked))
+            .map_groups(_chunk_fps, batch_format="pandas").to_pandas()
         )
         selected = (
             selected.sort_values(["__chunk", "__order"], kind="mergesort")

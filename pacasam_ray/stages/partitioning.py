@@ -71,6 +71,26 @@ def pick_partitions(
     return max(lo, min(hi, -(-est_bytes // target_bytes)))
 
 
+def pick_group_partitions(*datasets, **kw) -> int:
+    """Partition count for a ``groupby(...).map_groups`` stage.
+
+    Unlike a hash AGGREGATE (C kernels — a handful of fat reducers is
+    optimal), a ``map_groups`` reduce runs a PYTHON callback per group,
+    and its wall time is bounded by the number of concurrent reduce
+    partitions. At small scale `pick_partitions` legitimately returns
+    its floor (4), which would cap the callback stage at 4 cores on a
+    32-core node. Take max with the cluster CPU count: at 100 TB the
+    byte-derived count dominates anyway, at bench scale every core gets
+    a partition."""
+    import ray as _ray
+
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", MIN_PARTITIONS))
+    except Exception:
+        cpus = MIN_PARTITIONS
+    return max(pick_partitions(*datasets, **kw), min(cpus, MAX_PARTITIONS))
+
+
 # Above this estimated size a multi-consumer intermediate is checkpointed to
 # parquet instead of pinned in the object store. Env-overridable so tests can
 # force the spill path (GRAFT_CHECKPOINT_SPILL_BYTES=0).

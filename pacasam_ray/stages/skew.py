@@ -31,6 +31,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..hashing import hmix
+from .partitioning import pick_partitions
 
 SALT_SKEW = 31337
 
@@ -81,13 +82,14 @@ def salted_groupby_sum(ds, key: str, sum_cols: list[str], salt_k: int = 16,
 
     phase1 = (
         ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([key, "__salt"])
+        .groupby([key, "__salt"], num_partitions=pick_partitions(ds))
         .aggregate(
             Sum("__n", alias_name="num_rows"),
             *[Sum(c, alias_name=f"sum_{c}") for c in sum_cols],
         )
     )
-    phase2 = phase1.groupby(key).aggregate(
+    phase2 = phase1.groupby(key,
+                            num_partitions=pick_partitions(phase1)).aggregate(
         Sum("num_rows", alias_name="num_rows"),
         *[Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sum_cols],
     )
