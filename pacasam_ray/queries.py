@@ -4198,6 +4198,206 @@ WHERE levenshtein(a.text, b.text) <= {EDIT_MAX}
 
 
 # ---------------------------------------------------------------------------
+# Sequence transitions, time-range windows, windowed dedup, in-slab NN
+# ---------------------------------------------------------------------------
+
+def q_transition_counts(sf_dir: str):
+    """Event-type transition matrix (the Markov-chain / session-model
+    fit): counts of (event_type → next event_type) over each user's
+    (ts, event_id)-ordered stream. One hash shuffle co-locates users;
+    inside a partition the pairs are just two shifted array views masked
+    at user boundaries, pre-counted per partition so the final Sum
+    groupby moves ≤ |types|² rows per partition."""
+    from ray.data.aggregate import Sum
+
+    from .stages.partitioning import grouped_batch_map, pick_partitions
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        if len(df) < 2:
+            return pd.DataFrame({"src": [], "dst": [], "n": []})
+        same = uid[1:] == uid[:-1]
+        out = pd.DataFrame({"src": et[:-1][same], "dst": et[1:][same]})
+        return out.groupby(["src", "dst"], sort=False).size().reset_index(name="n")
+
+    pairs = grouped_batch_map(ds, ["user_id"], _pairs)
+    return pairs.groupby(["src", "dst"], num_partitions=pick_partitions(pairs)) \
+                .aggregate(Sum("n", alias_name="n"))
+
+
+SQL_TRANSITION_COUNTS = """
+WITH nxt AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events)
+SELECT src, dst, COUNT(*) AS n FROM nxt WHERE dst IS NOT NULL
+GROUP BY src, dst
+"""
+
+
+RANGE_WIN_US = 3_600_000_000  # 1 hour
+
+
+def q_time_range_window(sf_dir: str):
+    """Time-RANGE window frame (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    AND CURRENT ROW): per event, how many of the same user's events fall
+    in the trailing hour. ROWS frames shift arrays; RANGE frames need a
+    per-row lower bound — found here with ONE `np.searchsorted` over the
+    whole partition by embedding each user segment in a disjoint numeric
+    interval (ts + user_index·BIG), so there is no per-user loop."""
+    from .stages.partitioning import grouped_batch_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def _win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        n = len(df)
+        if not n:
+            return pd.DataFrame({"event_id": [], "user_id": [], "n_last_hour": []})
+        new_u = np.r_[True, uid[1:] != uid[:-1]]
+        useg = np.cumsum(new_u) - 1          # dense user index, sorted order
+        BIG = np.int64(1) << 50              # > any ts span, keeps segments disjoint
+        emb = us + useg * BIG
+        lo = np.searchsorted(emb, emb - RANGE_WIN_US, side="left")
+        # RANGE frames end at the last PEER (equal ts), not the current row
+        hi = np.searchsorted(emb, emb, side="right")
+        cnt = hi - lo
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": uid, "n_last_hour": cnt})
+
+    return grouped_batch_map(ds, ["user_id"], _win)
+
+
+SQL_TIME_RANGE_WINDOW = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS n_last_hour
+FROM events
+"""
+
+
+DEDUP_WIN_US = 3_600_000_000  # 1-hour tumbling window
+
+
+def q_window_dedup(sf_dir: str):
+    """Windowed dedup (the log-pipeline staple): within each 1-hour
+    tumbling window, keep each user's FIRST event of each type — the
+    rest are retries/refreshes. Key = (user, type, window); the survivor
+    is the (ts, event_id) minimum, picked with one partition-level
+    mergesort + boundary mask across all keys at once."""
+    from .stages.partitioning import grouped_batch_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = df.assign(__win=us // DEDUP_WIN_US, __us=us)
+        df = df.sort_values(["user_id", "event_type", "__win", "__us", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        win = df["__win"].to_numpy()
+        n = len(df)
+        if not n:
+            return pd.DataFrame({"event_id": [], "user_id": [],
+                                 "event_type": [], "win": []})
+        first = np.r_[True, (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+                      | (win[1:] != win[:-1])]
+        out = df.loc[first]
+        return pd.DataFrame({"event_id": out["event_id"].to_numpy(),
+                             "user_id": out["user_id"].to_numpy(),
+                             "event_type": out["event_type"].to_numpy(),
+                             "win": out["__win"].to_numpy()})
+
+    return grouped_batch_map(ds, ["user_id"], _first)
+
+
+SQL_WINDOW_DEDUP = f"""
+SELECT event_id, user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) // {DEDUP_WIN_US} AS win
+FROM events
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id, event_type,
+                 CAST(epoch_us(ts) AS BIGINT) // {DEDUP_WIN_US}
+    ORDER BY ts, event_id) = 1
+"""
+
+
+def q_slab_nn(sf_dir: str):
+    """All-pairs nearest neighbor WITHIN each slab (the co-located
+    spatial unit): for every patch, its closest same-slab patch by
+    squared euclidean distance (ties → lowest patch_id; NULL-free since
+    every slab here has ≥ 2 patches). Slabs co-locate by hash bucket;
+    each slab's distance matrix is one (n×n) vectorized computation —
+    the blocked BNL join every self-similarity pipeline needs, with the
+    partitioning key making each block small. Exact ints end to end
+    (coordinates are halves ⇒ 4·d² is an exact int64)."""
+    from .stages.partitioning import grouped_batch_map
+
+    cat = make_catalogue(sf_dir).select_columns(["patch_id", "x", "y", "file_id"])
+
+    def _nn(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for fid, g in df.groupby("file_id", sort=False):
+            # per-slab brute force — slabs are small by construction;
+            # int arithmetic: 2*x is integral on the patch grid
+            xi = np.rint(g["x"].to_numpy() * 2).astype(np.int64)
+            yi = np.rint(g["y"].to_numpy() * 2).astype(np.int64)
+            ids = g["patch_id"].to_numpy()
+            m = len(g)
+            if m < 2:
+                continue
+            dx = xi[:, None] - xi[None, :]
+            dy = yi[:, None] - yi[None, :]
+            d2 = dx * dx + dy * dy               # 4× squared distance, exact
+            # sentinel > any in-slab distance (slab width bounds d2) yet
+            # small enough that d2*m + rank below stays inside int64
+            np.fill_diagonal(d2, np.int64(1) << 40)
+            # arg-min with ties to lowest neighbor id: encode (d2, id_rank)
+            order = np.argsort(ids, kind="stable")
+            rank = np.empty(m, dtype=np.int64)
+            rank[order] = np.arange(m)
+            key = d2 * np.int64(m) + rank[None, :]
+            best = np.argmin(key, axis=1)
+            out.append(pd.DataFrame({
+                "patch_id": ids,
+                "nn_id": ids[best],
+                "d2": d2[np.arange(m), best].astype(np.float64) / 4.0,
+            }))
+        if not out:
+            return pd.DataFrame({"patch_id": [], "nn_id": [], "d2": []})
+        return pd.concat(out, ignore_index=True)
+
+    return grouped_batch_map(cat, ["file_id"], _nn)
+
+
+SQL_SLAB_NN = f"""
+WITH c AS (SELECT patch_id, x, y, file_id FROM ({CAT}) cat),
+p AS (SELECT a.patch_id, b.patch_id AS nn_id,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM c a JOIN c b ON a.file_id = b.file_id AND a.patch_id <> b.patch_id)
+SELECT patch_id, nn_id, d2 FROM p
+QUALIFY ROW_NUMBER() OVER (PARTITION BY patch_id ORDER BY d2, nn_id) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sampler pipelines (seeded/iterative — rows-only checks; conformance is
 # asserted by pytest per the reference's own test strategy, SURVEY.md §5)
 # ---------------------------------------------------------------------------
@@ -4325,6 +4525,10 @@ def build_queries() -> dict:
         "source_except": q_source_except,
         "tfidf_topk": q_tfidf_topk,
         "edit_neardup": q_edit_neardup,
+        "transition_counts": q_transition_counts,
+        "time_range_window": q_time_range_window,
+        "window_dedup": q_window_dedup,
+        "slab_nn": q_slab_nn,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -4437,6 +4641,10 @@ def build_oracle_sql() -> dict:
         "source_except": SQL_SOURCE_EXCEPT,
         "tfidf_topk": SQL_TFIDF_TOPK,
         "edit_neardup": _sql_edit_neardup(),
+        "transition_counts": SQL_TRANSITION_COUNTS,
+        "time_range_window": SQL_TIME_RANGE_WINDOW,
+        "window_dedup": SQL_WINDOW_DEDUP,
+        "slab_nn": SQL_SLAB_NN,
     }
 
 
