@@ -3254,9 +3254,15 @@ def q_zscore_outlier(sf_dir: str):
         return t.filter(pa.array(lhs > rhs)).select(
             ["event_id", "event_type", "value"])
 
-    return ray.data.read_parquet(
+    from .stages.partitioning import schema_floor
+
+    out = ray.data.read_parquet(
         path, columns=["event_id", "event_type", "value"]
     ).map_batches(_filter, batch_format="pyarrow")
+    return schema_floor(out, pd.DataFrame({
+        "event_id": pd.Series([], dtype=np.int64),
+        "event_type": pd.Series([], dtype=object),
+        "value": pd.Series([], dtype=np.float64)}))
 
 
 SQL_ZSCORE_OUTLIER = f"""
@@ -3709,7 +3715,12 @@ def q_zone_overlap_area(sf_dir: str):
             "overlap_area": pa.array(total[keep]),
         })
 
-    return cat.map_batches(_area, batch_format="pyarrow")
+    from .stages.partitioning import schema_floor
+
+    return schema_floor(
+        cat.map_batches(_area, batch_format="pyarrow"),
+        pd.DataFrame({"patch_id": pd.Series([], dtype=np.int64),
+                      "overlap_area": pd.Series([], dtype=np.float64)}))
 
 
 def _sql_zone_overlap_area() -> str:
@@ -3981,10 +3992,14 @@ def q_source_intersect(sf_dir: str):
             .select_columns(["lang", "n_chars"])
         )
 
+    from .stages.partitioning import schema_floor
+
     a, b = _side(0), _side(1)
     j = a.join(b, join_type="left_semi", num_partitions=pick_partitions(a, b),
                on=("lang", "n_chars"))
-    return j
+    return schema_floor(j, pd.DataFrame({
+        "lang": pd.Series([], dtype=object),
+        "n_chars": pd.Series([], dtype=np.int64)}))
 
 
 SQL_SOURCE_INTERSECT = """
@@ -4017,9 +4032,14 @@ def q_source_except(sf_dir: str):
             .select_columns(["lang", "n_chars"])
         )
 
+    from .stages.partitioning import schema_floor
+
     a, b = _side(0), _side(1)
-    return a.join(b, join_type="left_anti", num_partitions=pick_partitions(a, b),
-                  on=("lang", "n_chars"))
+    j = a.join(b, join_type="left_anti", num_partitions=pick_partitions(a, b),
+               on=("lang", "n_chars"))
+    return schema_floor(j, pd.DataFrame({
+        "lang": pd.Series([], dtype=object),
+        "n_chars": pd.Series([], dtype=np.int64)}))
 
 
 SQL_SOURCE_EXCEPT = """
@@ -4157,9 +4177,16 @@ def q_edit_neardup(sf_dir: str):
     with distance ≤ 40."""
     from .functions.dedup import simhash_neardup_pairs
 
+    from .stages.partitioning import schema_floor, scrub_empty_blocks
+
     pairs = simhash_neardup_pairs(_docs(sf_dir), max_hamming=HAMMING_D)
-    pairs = pairs.map_batches(lambda df: df[["doc_a", "doc_b"]],
-                              batch_format="pandas")
+    pairs = scrub_empty_blocks(pairs.map_batches(
+        lambda df: df[["doc_a", "doc_b"]], batch_format="pandas"))
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64),
+                          "dist": pd.Series([], dtype=np.int64)})
+    if pairs.count() == 0:
+        return empty
     docs = _docs(sf_dir)
     pa_join = pairs.join(docs, join_type="inner",
                          num_partitions=pick_partitions(pairs, docs),
@@ -4181,7 +4208,8 @@ def q_edit_neardup(sf_dir: str):
             "dist": pa.array(d[keep]),
         })
 
-    return pb_join.map_batches(_verify, batch_format="pyarrow")
+    return schema_floor(pb_join.map_batches(_verify, batch_format="pyarrow"),
+                        empty)
 
 
 def _sql_edit_neardup() -> str:
@@ -4227,9 +4255,14 @@ def q_transition_counts(sf_dir: str):
         out = pd.DataFrame({"src": et[:-1][same], "dst": et[1:][same]})
         return out.groupby(["src", "dst"], sort=False).size().reset_index(name="n")
 
+    from .stages.partitioning import schema_floor
+
     pairs = grouped_batch_map(ds, ["user_id"], _pairs)
-    return pairs.groupby(["src", "dst"], num_partitions=pick_partitions(pairs)) \
-                .aggregate(Sum("n", alias_name="n"))
+    out = pairs.groupby(["src", "dst"], num_partitions=pick_partitions(pairs)) \
+               .aggregate(Sum("n", alias_name="n"))
+    return schema_floor(out, pd.DataFrame({
+        "src": pd.Series([], dtype=object), "dst": pd.Series([], dtype=object),
+        "n": pd.Series([], dtype=np.int64)}))
 
 
 SQL_TRANSITION_COUNTS = """
@@ -4384,7 +4417,13 @@ def q_slab_nn(sf_dir: str):
             return pd.DataFrame({"patch_id": [], "nn_id": [], "d2": []})
         return pd.concat(out, ignore_index=True)
 
-    return grouped_batch_map(cat, ["file_id"], _nn)
+    from .stages.partitioning import schema_floor
+
+    return schema_floor(
+        grouped_batch_map(cat, ["file_id"], _nn),
+        pd.DataFrame({"patch_id": pd.Series([], dtype=np.int64),
+                      "nn_id": pd.Series([], dtype=np.int64),
+                      "d2": pd.Series([], dtype=np.float64)}))
 
 
 SQL_SLAB_NN = f"""
@@ -4395,6 +4434,85 @@ p AS (SELECT a.patch_id, b.patch_id AS nn_id,
 SELECT patch_id, nn_id, d2 FROM p
 QUALIFY ROW_NUMBER() OVER (PARTITION BY patch_id ORDER BY d2, nn_id) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert, exact quantile bucketizer
+# ---------------------------------------------------------------------------
+
+def q_events_dedup_latest(sf_dir: str):
+    """CDC upsert / keep-latest: each (user, event_type) key's most
+    recent event wins (ts desc, then event_id desc — the change-data
+    convention where the newest record supersedes). One hash shuffle +
+    one partition-level mergesort + boundary mask across all keys."""
+    from .stages.partitioning import grouped_batch_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+
+    def _latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"],
+                            ascending=[True, True, False, False],
+                            kind="mergesort").reset_index(drop=True)
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        n = len(df)
+        if not n:
+            return df[["user_id", "event_type", "event_id", "value"]]
+        first = np.r_[True, (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])]
+        return df.loc[first, ["user_id", "event_type", "event_id", "value"]]
+
+    return grouped_batch_map(ds, ["user_id"], _latest)
+
+
+SQL_EVENTS_DEDUP_LATEST = """
+SELECT user_id, event_type, event_id, value FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+BUCKET_QS = (1, 2, 3)  # quartile cuts at k = ceil(q*n/4)
+
+
+def q_quantile_bucketize(sf_dir: str):
+    """Equi-depth feature bucketizer (the ML-prep discretization step):
+    each order lands in the quartile bucket of its o_totalprice. The
+    three cut values come from the exact distributed quickselect
+    (`kth_smallest_value` — count passes only, no sort shuffle) at the
+    1-based positions ceil(q·n/4); the bucket is then the count of cuts
+    strictly below the value (ties land in the LOWER bucket on both
+    engines, so boundary rows are deterministic). Cuts broadcast in the
+    closure; the assignment is one `np.searchsorted` per batch."""
+    from .stages.orderstats import kth_smallest_value
+
+    path = f"{sf_dir}/orders.parquet"
+    ds = ray.data.read_parquet(path, columns=["o_orderkey", "o_totalprice"])
+    n = ds.count()
+    cuts = np.array([
+        kth_smallest_value(ds, "o_totalprice", -(-q * n // 4))
+        for q in BUCKET_QS
+    ])
+
+    def _assign(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(cuts, v, side="left")  # cuts strictly below
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "bucket": pa.array(b.astype(np.int64))})
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def _sql_quantile_bucketize() -> str:
+    cut = ("SELECT o_totalprice FROM orders ORDER BY o_totalprice "
+           "LIMIT 1 OFFSET -(-{q} * (SELECT COUNT(*) FROM orders) // 4) - 1")
+    cases = " + ".join(
+        f"CASE WHEN o_totalprice > ({cut.format(q=q)}) THEN 1 ELSE 0 END"
+        for q in BUCKET_QS
+    )
+    return f"SELECT o_orderkey, CAST({cases} AS BIGINT) AS bucket FROM orders"
 
 
 # ---------------------------------------------------------------------------
@@ -4529,6 +4647,8 @@ def build_queries() -> dict:
         "time_range_window": q_time_range_window,
         "window_dedup": q_window_dedup,
         "slab_nn": q_slab_nn,
+        "events_dedup_latest": q_events_dedup_latest,
+        "quantile_bucketize": q_quantile_bucketize,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -4645,6 +4765,8 @@ def build_oracle_sql() -> dict:
         "time_range_window": SQL_TIME_RANGE_WINDOW,
         "window_dedup": SQL_WINDOW_DEDUP,
         "slab_nn": SQL_SLAB_NN,
+        "events_dedup_latest": SQL_EVENTS_DEDUP_LATEST,
+        "quantile_bucketize": _sql_quantile_bucketize(),
     }
 
 

@@ -172,6 +172,25 @@ def scrub_empty_blocks(ds):
     return _ray.data.from_arrow_refs(refs)
 
 
+def schema_floor(ds, empty_df):
+    """Schema guarantee for query results that may be EMPTY.
+
+    Ray 2.49's ``Dataset.to_pandas`` returns a column-less frame when
+    every block has zero rows — even ``from_pandas(typed empty)`` /
+    ``from_arrow(typed empty)`` lose their schema — so a legitimately
+    empty result set would fail any schema-checking comparator. This
+    finalizer materializes the result once (results are driver-consumed
+    by the query contract; corpus-scale outputs go through
+    ``write_parquet`` instead) and substitutes the TYPED empty frame
+    when nothing survived. Non-empty results pass through as the
+    materialized Dataset, un-copied.
+    """
+    mat = ds.materialize()
+    if mat.count() == 0:
+        return empty_df
+    return mat
+
+
 _FNV_PRIME = 1099511628211
 
 

@@ -30,6 +30,18 @@ EDGE_QUERIES = [
     "token_count", "events_sessions", "events_window", "events_hopping",
     "text_scrub", "asof_join", "distinct_hll", "substring_dedup",
     "doc_rarity", "simhash",
+    # round-3 second wave: single-row users (PERCENT_RANK n=1 → 0),
+    # equal-(ts,value) pairs (tie-breaks, RANGE peer frames, LEAD gap 0),
+    # shared 60-char prefixes (keep-best dedup with an n_chars tie),
+    # duplicate (price,size) points on the skyline, no-digit texts
+    # (regexp_extract '' branch), tf/df score ties in TF-IDF
+    "percent_rank", "zscore_outlier", "dedup_keep_best",
+    "string_agg_sorted", "group_gini", "pareto_front", "term_cooccur",
+    "csv_roundtrip", "jsonl_roundtrip", "cell_rollup",
+    "zone_overlap_area", "zone_distance", "quality_model",
+    "cohort_retention", "events_lead", "unpivot_part", "regex_extract",
+    "source_intersect", "source_except", "tfidf_topk", "edit_neardup",
+    "transition_counts", "time_range_window", "window_dedup", "slab_nn",
 ]
 
 
@@ -107,13 +119,24 @@ def edge_dir(tmp_path_factory):
         "o_totalprice": [500000.0, 400000.01, 1000.0, 399999.99],
     }).to_parquet(d / "orders.parquet", index=False)
 
+    # part: skyline corner cases — an exact duplicate point (1,2: both
+    # stay on the front, neither dominates the other), an equal-price
+    # larger-size row (3: dominated within its price run), an equal-size
+    # higher-price row (6: dominated across runs), and two more front
+    # members bracketing the price range.
+    pd.DataFrame({
+        "p_partkey": [1, 2, 3, 4, 5, 6],
+        "p_retailprice": [900.0, 900.0, 900.0, 850.0, 950.0, 960.0],
+        "p_size": np.array([10, 10, 12, 50, 5, 5], dtype=np.int32),
+    }).to_parquet(d / "part.parquet", index=False)
+
     return str(d)
 
 
 @pytest.fixture(scope="module")
 def edge_duck(edge_dir):
     con = duckdb.connect()
-    for t in ("events", "lineitem", "documents", "customer", "orders"):
+    for t in ("events", "lineitem", "documents", "customer", "orders", "part"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{edge_dir}/{t}.parquet'")
     yield con
     con.close()

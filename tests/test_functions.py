@@ -320,3 +320,38 @@ def test_hll_error_bound_and_merge_invariance():
     est2 = distinct_hll(ray.data.from_items(rows, override_num_blocks=17))["distinct_est"][0]
     assert est1 == est2  # partition invariance, bit-exact
     assert abs(est1 - 20_000) / 20_000 < 0.35  # ~2.7 sigma at m=64
+
+
+def test_misra_gries_guarantees(ray_session):
+    """MG heavy-hitter summary: bounded counters, explicit error
+    certificate, and the cannot-lose-a-heavy-hitter guarantee — all
+    holding under different block boundaries (MG estimates are
+    partition-dependent; the BOUNDS are not)."""
+    import ray
+
+    from pacasam_ray.functions.sketches import misra_gries_terms
+
+    rng = np.random.RandomState(7)
+    # heavy term = 30% of mass, 400 distinct noise terms >> k
+    toks = ["heavy"] * 3000 + [f"n{i}" for i in rng.randint(0, 400, 7000)]
+    rng.shuffle(toks)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(500),
+        "text": [" ".join(toks[i * 20:(i + 1) * 20]) for i in range(500)],
+    })
+    true = pd.Series(toks).value_counts()
+    n_total = len(toks)
+
+    for nblocks in (1, 7):
+        ds = ray.data.from_pandas(docs).repartition(nblocks)
+        summary, err = misra_gries_terms(ds, k=16)
+        assert len(summary) <= 16
+        est = dict(zip(summary["term"], summary["cnt"]))
+        # certificate: underestimates only, by at most err
+        for t, e in est.items():
+            assert e <= true[t] <= e + err, (t, e, true[t], err)
+        # any term heavier than the certificate must be present
+        for t, c in true.items():
+            if c > err:
+                assert t in est, (t, c, err)
+        assert "heavy" in est and err < 0.3 * n_total

@@ -158,3 +158,64 @@ def test_bloom_anti_join_equals_exact_anti_join():
         .sort_values("v").reset_index(drop=True)
     want = left[~left["k"].isin(right["r"])].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_edit_distance_batch_matches_reference_dp():
+    """The vectorized cummin-relaxation DP equals the classic O(nm)
+    cell-by-cell Levenshtein on adversarial shapes: empty strings,
+    equal strings, pure insert/delete, transposition (cost 2 under
+    unit-cost Levenshtein), and unicode beyond the BMP."""
+    from pacasam_ray.queries import edit_distance_batch
+
+    def ref(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    pairs = [
+        ("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+        ("kitten", "sitting"), ("ab", "ba"), ("abcdef", "azced"),
+        ("aaaa", "aa"), ("día", "dia"), ("x🙂y", "xy"),
+        ("the quick brown fox", "the quick brown dog"),
+    ]
+    got = edit_distance_batch([a for a, _ in pairs], [b for _, b in pairs])
+    assert list(got) == [ref(a, b) for a, b in pairs]
+
+
+def test_schema_floor_preserves_columns_when_empty(ray_session):
+    """Ray's to_pandas drops column schema when every block is empty;
+    schema_floor substitutes the typed empty frame (and passes non-empty
+    results through untouched)."""
+    import ray
+
+    from pacasam_ray.stages.partitioning import schema_floor
+
+    src = ray.data.range(5).map_batches(
+        lambda t: t.filter(pa.array([False] * t.num_rows)),
+        batch_format="pyarrow")
+    empty = pd.DataFrame({"id": pd.Series([], dtype=np.int64)})
+    out = schema_floor(src, empty)
+    assert isinstance(out, pd.DataFrame) and list(out.columns) == ["id"]
+
+    full = schema_floor(ray.data.range(5), empty)
+    assert not isinstance(full, pd.DataFrame) and full.count() == 5
+
+
+def test_pick_group_partitions_floors_at_cluster_cpus(ray_session):
+    """map_groups reducers get at least one partition per cluster CPU —
+    their per-group Python callbacks are concurrency-bound, unlike
+    C-kernel aggregate reducers."""
+    import ray
+
+    from pacasam_ray.stages.partitioning import (pick_group_partitions,
+                                                 pick_partitions)
+
+    ds = ray.data.range(100)  # tiny: byte-derived count hits the floor (4)
+    cpus = int(ray.cluster_resources()["CPU"])
+    assert pick_partitions(ds) < pick_group_partitions(ds) or cpus <= 4
+    assert pick_group_partitions(ds) >= min(cpus, 4)
