@@ -541,3 +541,91 @@ def ann_topk_ivf(ds, query_matrix: np.ndarray, k: int, centroids: np.ndarray,
                           kind="mergesort").reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out
+
+
+def kmeans_train_distributed(ds, k: int, iters: int = 10,
+                             id_col: str = "vec_id",
+                             emb_col: str = "embedding") -> np.ndarray:
+    """Full-corpus spherical k-means (Lloyd), every step distributed.
+
+    `fit_ivf_centroids` above fits on a bounded subsample — right for an
+    IVF coarse quantizer, wrong when the clustering IS the product (e.g.
+    semantic-dedup bucketing of the whole corpus). Here each Lloyd
+    iteration is one streaming pass:
+
+    - E-step per batch: int64-quantized rows against the broadcast
+      centroid matrix — one matmul, cosine arg-max, ties to the lowest
+      centroid id (bit-reproducible, same kernel as `q_kmeans_assign`);
+    - M-step as a combiner: each batch emits per-cluster (count,
+      Σ quantized-vector) partials — k×dim int64 rows per block, EXACT —
+      merged on the driver (k×dim is model-sized, not data-sized) into
+      new L2-normalized float64 centroids.
+
+    Exact integer partials make every iteration partition-invariant, so
+    the trained model is bit-identical at any block layout — the
+    property the accompanying test pins. Empty clusters keep their
+    previous centroid (standard Lloyd fallback, deterministic).
+    Returns the (k, dim) centroid matrix.
+    """
+    import ray as _ray
+
+    from ..hashing import hmix
+    from ..samplers.algos import smallest_n
+
+    # Seeding: k seeds drawn close together (e.g. the k smallest ids of
+    # an ingest-ordered table) collapse Lloyd into splitting one region.
+    # Deterministic two-step spread: (1) a bounded hash-rank subsample
+    # (partition-invariant, streamed via tree-reduced smallest_n), (2)
+    # farthest-point sampling on it — the k-means++-style init the
+    # engine's own FPS kernel provides.
+    def _rank(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__seed_rank", pa.array(hmix(ids, 911)))
+
+    from ..samplers.algos import fps
+
+    seed = smallest_n(
+        ds.select_columns([id_col, emb_col]).map_batches(
+            _rank, batch_format="pyarrow"),
+        max(k, min(4096, 64 * k)), col="__seed_rank", tiebreak=id_col,
+    ).to_pandas()
+    pool = np.stack(seed[emb_col].to_numpy()).astype(np.float64)
+    pool /= np.maximum(np.linalg.norm(pool, axis=1, keepdims=True), 1e-12)
+    cent = pool[fps(pool, k)].copy()
+    dim = cent.shape[1]
+
+    for _ in range(iters):
+        cref = _ray.put(cent)
+
+        def _partial(t: pa.Table) -> pa.Table:
+            c = _ray.get(cref)
+            mat = _batch_qmat(t, emb_col)                  # int64 rows
+            norms = np.sqrt((mat * mat).sum(axis=1, dtype=np.float64))
+            cos = (mat @ c.T) / np.maximum(norms[:, None], 1e-12)
+            best = cos.argmax(axis=1)                      # ties -> lowest id
+            out_rows = []
+            for ci in np.unique(best):
+                members = mat[best == ci]
+                out_rows.append((int(ci), len(members),
+                                 members.sum(axis=0).tolist()))
+            return pa.table({
+                "cluster": pa.array([r[0] for r in out_rows], pa.int64()),
+                "n": pa.array([r[1] for r in out_rows], pa.int64()),
+                "sums": pa.array([r[2] for r in out_rows],
+                                 pa.list_(pa.int64())),
+            })
+
+        parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+        new = cent.copy()
+        for ci, grp in parts.groupby("cluster"):
+            n = int(grp["n"].sum())
+            if not n:
+                continue
+            s = np.sum(np.stack(grp["sums"].to_numpy()), axis=0,
+                       dtype=np.int64).astype(np.float64)
+            m = s / n
+            new[int(ci)] = m / max(np.linalg.norm(m), 1e-12)
+        if np.array_equal(new, cent):
+            break
+        cent = new
+    return cent

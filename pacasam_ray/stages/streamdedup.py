@@ -1,0 +1,116 @@
+"""Streaming first-seen dedup over a SHARDED MUTABLE INDEX.
+
+The Dataset-native dedup (`stages/dedup.py`) is the right batch plan:
+hash-shuffle, pick a representative, done. What it cannot express is the
+INGESTION-TIME contract — "emit each new key exactly once, as soon as it
+arrives, across an unbounded stream of micro-batches" — because a
+Dataset shuffle is a barrier over a finite input. This is the one place
+the engine drops to raw Ray actors (the documented last resort): a pool
+of ``@ray.remote`` index shards, each owning a disjoint hash range of
+the key space, mutated in place as batches flow.
+
+Scale properties:
+- shard-parallel: a batch is split by key hash and probed on all owning
+  shards concurrently (``ray.get`` on a list — one round trip);
+- memory = the distinct-key set, spread evenly over shards (hash of the
+  key, not the raw key, is stored — 8 bytes/key via a Python set of
+  int64; swap for a spill-to-parquet shard when a range outgrows RAM);
+- deterministic: first-seen is defined by arrival order WITHIN the
+  stream the caller feeds; each shard serializes its range, so two keys
+  in the same range cannot race.
+
+Used standalone (`StreamingDeduper.process(table)`) or as the stateful
+stage behind `dedup_stream_iter` which drains a Dataset's
+``iter_batches`` through the index — e.g. dedup-on-ingest of a crawl
+feed before anything is written.
+
+Reference analog: none (the reference dedups catalogues at rest,
+src/pacasam/samplers/sampler.py drop_duplicates); engine addition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+@ray.remote
+class _IndexShard:
+    """Owns one hash range of the key space; returns the first-seen mask
+    for its slice of each batch and mutates its set in place."""
+
+    def __init__(self) -> None:
+        self._seen: set[int] = set()
+
+    def first_seen(self, hashes: np.ndarray) -> np.ndarray:
+        seen = self._seen
+        out = np.zeros(len(hashes), dtype=bool)
+        for i, h in enumerate(hashes.tolist()):
+            if h not in seen:
+                seen.add(h)
+                out[i] = True
+        return out
+
+    def size(self) -> int:
+        return len(self._seen)
+
+
+def _key_hashes(values: pa.Array) -> np.ndarray:
+    """64-bit md5-derived hashes (portability contract of the dedup
+    suite, functions/dedup.py:19-22)."""
+    arr = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
+    return np.array(
+        [int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+         for v in arr.to_pylist()],
+        dtype=np.int64,
+    )
+
+
+class StreamingDeduper:
+    """First-seen streaming dedup across micro-batches.
+
+    ``process(table)`` returns the subset of rows whose ``key_col`` value
+    was never seen in ANY earlier batch (or earlier in this batch —
+    within-batch duplicates keep the first occurrence).
+    """
+
+    def __init__(self, key_col: str = "url", num_shards: int = 8):
+        self.key_col = key_col
+        self.num_shards = num_shards
+        self._shards = [_IndexShard.remote() for _ in range(num_shards)]
+
+    def process(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        h = _key_hashes(t[self.key_col])
+        shard_of = (h % self.num_shards).astype(np.int64)
+        keep = np.zeros(len(h), dtype=bool)
+        futs, slots = [], []
+        for s in range(self.num_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx):
+                futs.append(self._shards[s].first_seen.remote(h[idx]))
+                slots.append(idx)
+        for idx, mask in zip(slots, ray.get(futs)):
+            keep[idx] = mask
+        return t.filter(pa.array(keep))
+
+    def index_size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self._shards]))
+
+
+def dedup_stream_iter(ds, key_col: str, num_shards: int = 8,
+                      batch_size: int = 4096):
+    """Drain a Dataset through the streaming index in arrival order,
+    yielding deduplicated Arrow tables. The Dataset side stays lazy
+    (``iter_batches`` streams blocks with backpressure); only the
+    key-hash set is resident, sharded across the actor pool."""
+    dd = StreamingDeduper(key_col=key_col, num_shards=num_shards)
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=batch_size):
+        out = dd.process(batch)
+        if out.num_rows:
+            yield out

@@ -355,3 +355,75 @@ def test_misra_gries_guarantees(ray_session):
             if c > err:
                 assert t in est, (t, c, err)
         assert "heavy" in est and err < 0.3 * n_total
+
+
+def test_streaming_dedup_first_seen(ray_session):
+    """Sharded-actor streaming dedup: first occurrence wins across AND
+    within micro-batches, the kept set equals batch dedup, and the
+    result is invariant to shard count (each key's range serializes)."""
+    import pyarrow as pa
+
+    from pacasam_ray.stages.streamdedup import StreamingDeduper
+
+    b1 = pa.table({"url": ["a", "b", "a", "c"], "v": [1, 2, 3, 4]})
+    b2 = pa.table({"url": ["b", "d", "c", "e"], "v": [5, 6, 7, 8]})
+    for shards in (1, 4):
+        dd = StreamingDeduper(key_col="url", num_shards=shards)
+        out1, out2 = dd.process(b1), dd.process(b2)
+        assert out1.to_pydict() == {"url": ["a", "b", "c"], "v": [1, 2, 4]}
+        assert out2.to_pydict() == {"url": ["d", "e"], "v": [6, 8]}
+        assert dd.index_size() == 5
+
+
+def test_dedup_stream_iter_matches_batch_dedup(ray_session):
+    """Draining a Dataset through the streaming index keeps exactly one
+    row per key — the same key set the at-rest dedup computes."""
+    import ray
+
+    from pacasam_ray.stages.streamdedup import dedup_stream_iter
+
+    df = pd.DataFrame({
+        "url": [f"u{i % 37}" for i in range(500)],
+        "payload": np.arange(500),
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = pd.concat(
+        [t.to_pandas() for t in dedup_stream_iter(ds, "url", num_shards=3,
+                                                  batch_size=64)],
+        ignore_index=True)
+    assert len(out) == 37
+    assert sorted(out["url"]) == sorted(df["url"].unique())
+
+
+def test_kmeans_train_distributed_invariance_and_recovery(ray_session):
+    """Full-corpus Lloyd: (1) bit-identical centroids at different block
+    layouts (exact integer M-step partials), (2) planted blobs recovered
+    (every blob maps to one distinct centroid)."""
+    import pyarrow as pa
+    import ray
+
+    from pacasam_ray.functions.similarity import kmeans_train_distributed
+
+    rng = np.random.RandomState(3)
+    means = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]])
+    vecs = np.concatenate([
+        m + rng.normal(0, 0.05, size=(60, 4)) for m in means
+    ]).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    })
+
+    cents = []
+    for nblocks in (2, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        cents.append(kmeans_train_distributed(ds, k=3, iters=8))
+    assert np.array_equal(cents[0], cents[1])  # bit-identical, not just close
+
+    # blob recovery: each true mean's nearest centroid is distinct & close
+    c = cents[0]
+    nearest = [(np.abs(c - m / np.linalg.norm(m)).sum(axis=1)).argmin()
+               for m in means]
+    assert len(set(nearest)) == 3
+    for m, ci in zip(means, nearest):
+        assert np.dot(c[ci], m / np.linalg.norm(m)) > 0.95
