@@ -18,7 +18,8 @@ import pyarrow.compute as pc
 import ray
 
 from .catalogue import catalogue_sql
-from .hashing import hmix, hmix_sql
+from .functions.text import token_count_sql
+from .hashing import M31, hmix, hmix_sql
 from .pipelines.sampling import DEFAULT_CONFIG, make_catalogue, run_sampling
 from .samplers.algos import sample_randomly, sample_with_stratification
 from .samplers.base import SALT_RANDOM, SALT_SPATIAL
@@ -4087,7 +4088,11 @@ def q_tfidf_topk(sf_dir: str):
         vc = pa.TableGroupBy(t.select(["term"]), "term").aggregate([([], "count_all")])
         return vc.rename_columns(["term", "df"])
 
-    dfreq = (
+    from .stages.partitioning import scrub_empty_blocks
+
+    # scrub: on tiny inputs (distinct terms < num_partitions) the aggregate
+    # emits schema-less zero-row blocks that crash the pyarrow hash join
+    dfreq = scrub_empty_blocks(
         tf.map_batches(_df_partial, batch_format="pyarrow")
         .groupby("term", num_partitions=pick_partitions(tf))
         .aggregate(Sum("df", alias_name="df"))
@@ -4516,6 +4521,464 @@ def _sql_quantile_bucketize() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Shipmode conditional aggregation, weighted mean, calendar derivation
+# ---------------------------------------------------------------------------
+
+Q12_LO = "1996-01-01"
+Q12_HI = "1997-01-01"
+
+
+def q_tpch_q12(sf_dir: str):
+    """Q12-style conditional aggregation: per return flag, how many
+    qualifying lineitems belong to HIGH-priority orders vs not (the
+    CASE-WHEN-inside-SUM pattern). One native hash join (both sides
+    pruned at the read), the conditional sums fold into the per-batch
+    combiner as boolean int64 vectors."""
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(Q12_LO + "T00:00:00.000000")
+    hi = np.datetime64(Q12_HI + "T00:00:00.000000")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    ).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi)),
+        )).select(["l_orderkey", "l_returnflag"]),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    j = li.join(orders, join_type="inner",
+                num_partitions=pick_partitions(li, orders),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        high = pc.or_(
+            pc.equal(t["o_orderpriority"], "1-URGENT"),
+            pc.equal(t["o_orderpriority"], "2-HIGH"),
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_numpy(zero_copy_only=False),
+            "high_line_count": high.astype(np.int64),
+            "low_line_count": (~high).astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("l_returnflag", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    pre = j.map_batches(_partial, batch_format="pyarrow")
+    return pre.groupby("l_returnflag", num_partitions=pick_partitions(pre)) \
+              .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                         Sum("low_line_count", alias_name="low_line_count"))
+
+
+SQL_TPCH_Q12 = f"""
+SELECT l_returnflag,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+      AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+      AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_LO}' AND l_shipdate < TIMESTAMP '{Q12_HI}'
+GROUP BY l_returnflag
+"""
+
+
+def q_weighted_avg(sf_dir: str):
+    """Quantity-weighted average discount per return flag — the weighted
+    mean as a ratio of two EXACT integer sums (Σw·x, Σw in cents), one
+    IEEE division at the end. Zero-shuffle-overhead shape: per-batch
+    integer combiner, tiny Sum groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        q = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        d = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_numpy(zero_copy_only=False),
+            "wx": q * d, "w": q,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("l_returnflag", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    pre = ds.map_batches(_partial, batch_format="pyarrow")
+    agg = pre.groupby("l_returnflag", num_partitions=pick_partitions(pre)) \
+             .aggregate(Sum("wx", alias_name="wx"), Sum("w", alias_name="w")) \
+             .to_pandas()
+    agg["wavg_discount"] = agg["wx"].astype("float64") / (
+        agg["w"].astype("float64") * 100.0)
+    agg = agg.sort_values("l_returnflag", kind="mergesort")
+    return agg[["l_returnflag", "wavg_discount"]].reset_index(drop=True)
+
+
+SQL_WEIGHTED_AVG = """
+SELECT l_returnflag,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+           * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+  / (CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) * 100.0)
+      AS wavg_discount
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_dow_activity(sf_dir: str):
+    """Calendar derivation: event counts per (day-of-week, type). The
+    dow comes from pure integer arithmetic on epoch days ((days+4) mod 7,
+    0=Sunday) mirrored literally in the SQL — no engine-specific calendar
+    functions whose week conventions could disagree."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        days = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // US_PER_DAY
+        df = pd.DataFrame({
+            "dow": (days + 4) % 7,
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["dow", "event_type"], sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    pre = ds.map_batches(_partial, batch_format="pyarrow")
+    return pre.groupby(["dow", "event_type"],
+                       num_partitions=pick_partitions(pre)) \
+              .aggregate(Sum("n", alias_name="n"))
+
+
+SQL_DOW_ACTIVITY = f"""
+SELECT (CAST(epoch_us(ts) AS BIGINT) // {US_PER_DAY} + 4) % 7 AS dow,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters, document chunking, sequence packing (prefix-sum scan)
+# ---------------------------------------------------------------------------
+
+HH_DEN = 50  # heavy = terms holding >= 1/50th (2%) of all tokens
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact heavy-hitter terms via the classic sketch-then-confirm two
+    pass: (1) a Misra-Gries summary (bounded counters per block — the
+    shuffle moves <= k rows/block no matter the vocabulary) yields a
+    guaranteed SUPERSET of every term with frequency >= total/HH_DEN,
+    (2) one exact counting pass restricted to those candidates (broadcast
+    `is_in` filter) replaces the sketch counts with true counts. At 100 TB
+    the full-vocabulary groupby that a naive exact count needs never
+    happens — only O(k) candidate terms shuffle in pass 2.
+    """
+    from ray.data.aggregate import Sum
+
+    from .functions.sketches import misra_gries_terms
+
+    ds = _docs(sf_dir)
+    summary, err = misra_gries_terms(ds, k=2048)
+
+    # exact total token count: shuffle-free per-batch partials
+    def _tok_total(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        return pa.table({"c": pa.array([len(toks)], pa.int64())})
+
+    total = int(ds.map_batches(_tok_total, batch_format="pyarrow")
+                  .to_pandas()["c"].sum())
+    # threshold: n >= total/HH_DEN  <=>  n*HH_DEN >= total (pure ints)
+    if err * HH_DEN >= total and err > 0:
+        # sketch cannot certify the superset (k too small for this skew
+        # profile) — fall back to the exact full groupby
+        cand = None
+    else:
+        up = summary["cnt"].to_numpy() + err
+        cand = summary.loc[up * HH_DEN >= total, "term"].tolist()
+        if not cand:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+    cand_arr = pa.array(cand) if cand is not None else None
+
+    def _exact_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        if cand_arr is not None:
+            toks = toks.filter(pc.is_in(toks, value_set=cand_arr))
+        vc = pa.TableGroupBy(pa.table({"term": toks}), "term").aggregate(
+            [([], "count_all")])
+        return vc.rename_columns(["term", "n"])
+
+    counts = ds.map_batches(_exact_counts, batch_format="pyarrow")
+    out = counts.groupby("term", num_partitions=pick_partitions(counts)) \
+                .aggregate(Sum("n", alias_name="n")).to_pandas()
+    out = out[out["n"].to_numpy() * HH_DEN >= total]
+    return out.sort_values("term", kind="mergesort") \
+              .reset_index(drop=True).astype({"n": "int64"})
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+     tot AS (SELECT COUNT(*) AS c FROM toks)
+SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+HAVING COUNT(*) * {HH_DEN} >= (SELECT c FROM tot)
+ORDER BY term
+"""
+
+
+CHUNK_SIZE = 180
+CHUNK_STRIDE = 150  # = size - overlap (30-codepoint overlap)
+
+
+def q_doc_chunk(sf_dir: str):
+    """LLM context chunking: split every document into fixed-size
+    overlapping codepoint windows (size 180, stride 150). The per-batch
+    kernel is vectorized PER CHUNK INDEX, not per row: chunk k of every
+    doc that has one is cut in a single `utf8_slice_codepoints` call, so
+    the number of kernel dispatches per batch equals the max chunk count
+    in that batch (a handful), never the row count. Output rows =
+    (doc_id, chunk_id, chunk); a doc shorter than one window still yields
+    its chunk 0 (training shards must not silently drop short docs).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _chunks(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(t["text"]), pa.int64()) \
+              .to_numpy(zero_copy_only=False)
+        over = np.maximum(n - CHUNK_SIZE, 0)
+        nch = 1 + (over + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+        parts = []
+        for k in range(int(nch.max()) if len(nch) else 0):
+            sub = t.filter(pa.array(nch > k))
+            chunk = pc.utf8_slice_codeunits(
+                sub["text"], start=k * CHUNK_STRIDE,
+                stop=k * CHUNK_STRIDE + CHUNK_SIZE)
+            parts.append(pa.table({
+                "doc_id": sub["doc_id"],
+                "chunk_id": pa.array(np.full(sub.num_rows, k, np.int64)),
+                "chunk": chunk,
+            }))
+        if not parts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.string())})
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(_chunks, batch_format="pyarrow")
+
+
+SQL_DOC_CHUNK = f"""
+WITH ch AS (
+  SELECT doc_id, text,
+    unnest(range(0, CASE WHEN LENGTH(text) <= {CHUNK_SIZE} THEN CAST(1 AS BIGINT)
+                    ELSE 1 + ((LENGTH(text) - {CHUNK_SIZE}) + {CHUNK_STRIDE} - 1)
+                             // {CHUNK_STRIDE} END)) AS chunk_id
+  FROM documents)
+SELECT doc_id, chunk_id,
+       substring(text, CAST(chunk_id * {CHUNK_STRIDE} AS INT) + 1, {CHUNK_SIZE})
+           AS chunk
+FROM ch
+"""
+
+
+TOKRE_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_token_count_regex(sf_dir: str):
+    """BPE-ish tokenizer-regex token count (the GPT-2 pre-tokenizer shape:
+    letter runs | digit runs | single symbols). One RE2 kernel per batch —
+    Arrow's `count_substring_regex` and DuckDB's `regexp_extract_all` share
+    the RE2 engine, so counts agree exactly; complements the whitespace
+    counter (`token_count`) the quality suite uses."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens_re": pc.cast(
+                pc.count_substring_regex(t["text"], TOKRE_PAT), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TOKEN_COUNT_REGEX = f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{TOKRE_PAT}')) AS BIGINT)
+           AS n_tokens_re
+FROM documents
+"""
+
+
+MIX_SALT = 9173
+# data-mixture weights: per-source keep rate in percent, the config table a
+# pretraining mixture job carries (deterministic function of the source name
+# here so tests need no side file)
+MIX_PCT = {f"src{i}": (i * 7) % 90 + 10 for i in range(20)}
+MIX_DEFAULT_PCT = 50
+
+
+def q_source_mix(sf_dir: str):
+    """Data-mixture construction: subsample each source at its configured
+    rate (e.g. wiki 100%, crawl 12%) with a DETERMINISTIC per-row coin —
+    keep iff hmix(doc_id) * 100 < pct(source) * 2^31, pure int64 compare,
+    so the mixture is reproducible at any parallelism and membership never
+    depends on partition layout. The rate table is a broadcast-small side
+    (closure constant here; `ray.put` for a real config table) probed with
+    a vectorized sorted-array `searchsorted`, never a per-row dict lookup.
+    """
+    keys = np.array(sorted(MIX_PCT), dtype=object)
+    pcts = np.array([MIX_PCT[k] for k in keys], dtype=np.int64)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        src = t["source"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, src)
+        idx_c = np.clip(idx, 0, len(keys) - 1)
+        pct = np.where(keys[idx_c] == src, pcts[idx_c], MIX_DEFAULT_PCT)
+        h = hmix(t["doc_id"].to_numpy(zero_copy_only=False), MIX_SALT)
+        return t.filter(pa.array(h * 100 < pct * M31))
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    ).map_batches(_keep, batch_format="pyarrow")
+
+
+def _sql_source_mix() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_PCT.items()))
+    return f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE ({hmix_sql('doc_id', MIX_SALT)}) * 100
+      < (CASE source {cases} ELSE {MIX_DEFAULT_PCT} END) * {M31}
+"""
+
+
+US_PER_HOUR = 3_600_000_000
+
+
+def q_cumulative_users(sf_dir: str):
+    """Cumulative distinct users per hour: first-seen dedup (Min-aggregate
+    per user — the exact-distinct scan), hour-level counts, then a running
+    total via the distributed prefix-sum scan (`stages/scan.py`). The
+    cumulative step never sorts the corpus: the scan's range buckets give
+    block-parallel cumsums + an O(buckets) driver offset table.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from .stages.scan import grouped_prefix_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def _partial_min(t: pa.Table) -> pa.Table:
+        hrs = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) \
+            // US_PER_HOUR
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "hour": hrs,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("user_id", sort=False, as_index=False).min(),
+            preserve_index=False)
+
+    pre = ev.map_batches(_partial_min, batch_format="pyarrow")
+    first = pre.groupby("user_id", num_partitions=pick_partitions(pre)) \
+               .aggregate(Min("hour", alias_name="hour"))
+
+    def _hour_counts(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"hour": t["hour"].to_numpy(zero_copy_only=False),
+                           "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("hour", sort=False, as_index=False).sum()
+              .assign(grp=np.int64(0)),
+            preserve_index=False)
+
+    hourly = first.map_batches(_hour_counts, batch_format="pyarrow")
+    hourly = hourly.groupby("hour", num_partitions=pick_partitions(hourly)) \
+                   .aggregate(Sum("n", alias_name="n"),
+                              Min("grp", alias_name="grp"))
+    scanned = grouped_prefix_sum(hourly, "grp", "hour", "n",
+                                 out_col="__prefix")
+    return scanned.map_batches(
+        lambda t: pa.table({
+            "hour": t["hour"],
+            "n": t["n"],
+            "cum_users": pa.array(
+                t["__prefix"].to_numpy(zero_copy_only=False)
+                + t["n"].to_numpy(zero_copy_only=False), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CUMULATIVE_USERS = f"""
+WITH f AS (SELECT user_id,
+             MIN(CAST(epoch_us(ts) AS BIGINT) // {US_PER_HOUR}) AS hour
+           FROM events GROUP BY 1),
+     d AS (SELECT hour, COUNT(*) AS n FROM f GROUP BY 1)
+SELECT hour, n, CAST(SUM(n) OVER (ORDER BY hour) AS BIGINT) AS cum_users
+FROM d
+"""
+
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+def q_pack_linear(sf_dir: str):
+    """Sequence packing for pretraining shards: within each source, fill
+    PACK_BUDGET-token bins in doc_id order (the linear/streaming packing
+    used to build fixed-length training sequences). bin = exclusive
+    running token total // budget — a GROUPED PREFIX SUM, computed by the
+    two-pass distributed scan in `stages/scan.py` (range-bucketed partial
+    sums -> tiny driver offset table -> co-located per-bucket cumsum), so
+    a single hot source spreads over many reducers and nothing
+    corpus-sized ever reaches the driver.
+    """
+    from .functions.text import token_count
+    from .stages.scan import grouped_prefix_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).map_batches(
+        lambda t: t.append_column("ntok", token_count(t["text"]))
+                   .drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+    scanned = grouped_prefix_sum(ds, "source", "doc_id", "ntok",
+                                 out_col="__prefix")
+    return scanned.map_batches(
+        lambda t: t.append_column(
+            "bin", pa.array(
+                t["__prefix"].to_numpy(zero_copy_only=False) // PACK_BUDGET,
+                pa.int64())
+        ).drop_columns(["__prefix"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PACK_LINEAR = f"""
+SELECT doc_id, source, {token_count_sql('text')} AS ntok,
+  CAST(COALESCE(SUM({token_count_sql('text')}) OVER (
+    PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {PACK_BUDGET}
+      AS BIGINT) AS bin
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sampler pipelines (seeded/iterative — rows-only checks; conformance is
 # asserted by pytest per the reference's own test strategy, SURVEY.md §5)
 # ---------------------------------------------------------------------------
@@ -4649,6 +5112,15 @@ def build_queries() -> dict:
         "slab_nn": q_slab_nn,
         "events_dedup_latest": q_events_dedup_latest,
         "quantile_bucketize": q_quantile_bucketize,
+        "tpch_q12": q_tpch_q12,
+        "weighted_avg": q_weighted_avg,
+        "dow_activity": q_dow_activity,
+        "heavy_hitters": q_heavy_hitters,
+        "doc_chunk": q_doc_chunk,
+        "pack_linear": q_pack_linear,
+        "source_mix": q_source_mix,
+        "cumulative_users": q_cumulative_users,
+        "token_count_regex": q_token_count_regex,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -4767,6 +5239,15 @@ def build_oracle_sql() -> dict:
         "slab_nn": SQL_SLAB_NN,
         "events_dedup_latest": SQL_EVENTS_DEDUP_LATEST,
         "quantile_bucketize": _sql_quantile_bucketize(),
+        "tpch_q12": SQL_TPCH_Q12,
+        "weighted_avg": SQL_WEIGHTED_AVG,
+        "dow_activity": SQL_DOW_ACTIVITY,
+        "heavy_hitters": SQL_HEAVY_HITTERS,
+        "doc_chunk": SQL_DOC_CHUNK,
+        "pack_linear": SQL_PACK_LINEAR,
+        "source_mix": _sql_source_mix(),
+        "cumulative_users": SQL_CUMULATIVE_USERS,
+        "token_count_regex": SQL_TOKEN_COUNT_REGEX,
     }
 
 

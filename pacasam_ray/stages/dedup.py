@@ -27,13 +27,18 @@ def dedup_exact(ds, key: str, tiebreak: str | None = None,
     """
     from ray.data.aggregate import Min
 
-    from .partitioning import pick_partitions
+    from .partitioning import pick_partitions, scrub_empty_blocks
 
     if num_partitions is None:
         num_partitions = pick_partitions(ds)
     tb = tiebreak or key
-    reps = ds.groupby(key, num_partitions=num_partitions).aggregate(
-        Min(tb, alias_name="__min_tb")
+    # scrub: empty reduce partitions emit schema-less zero-row blocks that
+    # crash the pyarrow hash join ("No match for key field reference") —
+    # hit whenever distinct keys < num_partitions (tiny/adversarial inputs)
+    reps = scrub_empty_blocks(
+        ds.groupby(key, num_partitions=num_partitions).aggregate(
+            Min(tb, alias_name="__min_tb")
+        )
     )
     return ds.join(
         reps, join_type="inner", num_partitions=num_partitions,

@@ -1,0 +1,106 @@
+"""Property-based Ray-vs-DuckDB parity fuzz.
+
+The oracle suite runs on the driver's synthetic tables and the
+edge-parity suite on hand-crafted corner cases; this layer generates
+RANDOM tiny tables biased hard toward the shapes that break windowed /
+dedup operators — duplicate keys, tied timestamps, tied values, repeated
+tokens — and asserts the full Ray pipeline still matches its registered
+DuckDB oracle bit-for-bit on every draw. Each example writes a real
+parquet dir and runs the real pipelines (no mocked kernels).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pacasam_ray.queries import build_oracle_sql, build_queries
+
+from test_oracle_parity import canonicalize, to_pandas
+
+QUERIES = build_queries()
+ORACLES = build_oracle_sql()
+
+EVENT_QUERIES = [
+    "percent_rank", "rank_window", "events_lag", "events_lead",
+    "string_agg_sorted", "window_dedup", "time_range_window",
+    "events_dedup_latest", "transition_counts", "events_sessions",
+]
+
+DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
+               "repetition_ratio", "tfidf_topk"]
+
+
+def _assert_parity(name, sf_dir, con):
+    ray_df = canonicalize(to_pandas(QUERIES[name](sf_dir)))
+    ora_df = canonicalize(con.sql(ORACLES[name]).df())
+    assert len(ray_df) == len(ora_df), f"{name}: {len(ray_df)} != {len(ora_df)}"
+    assert list(ray_df.columns) == list(ora_df.columns), name
+    for c in ray_df.columns:
+        a, b = ray_df[c], ora_df[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            pd.testing.assert_series_equal(
+                a.astype("float64"), b.astype("float64"), check_names=False,
+                rtol=0, atol=0, obj=f"{name}.{c}")
+        else:
+            assert list(a.fillna("\x00")) == list(b.fillna("\x00")), f"{name}.{c}"
+
+
+events_frames = st.lists(
+    st.tuples(
+        st.integers(1, 3),                       # user_id: heavy collisions
+        st.integers(0, 90),                      # minutes: tie-prone
+        st.sampled_from(["view", "click", "purchase"]),
+        st.sampled_from([1.0, 2.0, 7.5]),        # value: ties
+    ),
+    min_size=2, max_size=24,
+)
+
+doc_texts = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee extra"]),
+             min_size=1, max_size=8).map(" ".join),
+    min_size=2, max_size=10,
+)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=events_frames)
+def test_fuzz_event_windows(rows, ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_ev")
+    ev = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "ts": [np.datetime64("2024-01-01T00:00:00", "us")
+               + np.timedelta64(m, "m") for _, m, _, _ in rows],
+        "user_id": np.array([u for u, _, _, _ in rows], dtype=np.int64),
+        "event_type": [t for _, _, t, _ in rows],
+        "value": np.array([v for _, _, _, v in rows]),
+    })
+    ev.to_parquet(d / "events.parquet", index=False)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    for name in EVENT_QUERIES:
+        _assert_parity(name, str(d), con)
+    con.close()
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=doc_texts)
+def test_fuzz_doc_dedup(texts, ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_doc")
+    docs = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts,
+        "source": ["s0" if i % 2 else "s1" for i in range(len(texts))],
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        "lang": ["en"] * len(texts),
+    })
+    docs.to_parquet(d / "documents.parquet", index=False)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    for name in DOC_QUERIES:
+        _assert_parity(name, str(d), con)
+    con.close()
