@@ -74,10 +74,30 @@ def misra_gries_terms(ds, k: int = 64, text_col: str = "text"):
             ignore_index=True)
         return pa.Table.from_pandas(kept, preserve_index=False)
 
+    def _prune_block(t: pa.Table) -> pa.Table:
+        """Post-shuffle per-partition re-prune: MG summaries stay valid
+        under pruning (err accumulates), so bounding each reduce partition
+        to k counters + its own error row caps the driver pull at
+        nparts·(k+1) rows — without it the pull is every distinct term
+        that survived a block prune (O(blocks·k) at corpus scale)."""
+        df = pd.DataFrame({
+            "term": t["term"].to_numpy(zero_copy_only=False),
+            "cnt": t["cnt"].to_numpy(zero_copy_only=False),
+        })
+        err_rows = df["term"] == "\x00__mg_err__"
+        carried = int(df.loc[err_rows, "cnt"].sum())
+        kept, dec = _prune(df.loc[~err_rows].reset_index(drop=True), k)
+        kept = pd.concat(
+            [kept, pd.DataFrame({"term": ["\x00__mg_err__"],
+                                 "cnt": [carried + dec]})],
+            ignore_index=True)
+        return pa.Table.from_pandas(kept, preserve_index=False)
+
     raw = ds.map_batches(_local, batch_format="pyarrow")
     merged = (
         raw.groupby("term", num_partitions=pick_partitions(raw))
         .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(_prune_block, batch_format="pyarrow")
         .to_pandas()
     )
     err_rows = merged["term"] == "\x00__mg_err__"

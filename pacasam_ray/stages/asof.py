@@ -57,45 +57,53 @@ def asof_join_backward_ds(
         _tag(1, right_id), batch_format="pyarrow", zero_copy_batch=True
     ))
 
-    def _match(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == 0]
-        r = group[group["__side"] == 1]
+    def _match(bucket: pd.DataFrame) -> pd.DataFrame:
+        """One callback per HASH BUCKET of `by` keys (not per key): the
+        match itself is pandas `merge_asof(by=...)` — a single C kernel
+        vectorized across every group in the bucket, so 10^8 keys cost
+        ~blocks dispatches, not 10^8 (~50 µs each, see stages/dedup.py)."""
+        l = bucket[bucket["__side"] == 0]
+        r = bucket[bucket["__side"] == 1]
         if l.empty or r.empty:
             return pd.DataFrame({
                 left_id: pd.Series([], dtype="int64"),
-                by: pd.Series([], dtype=group[by].dtype),
+                by: pd.Series([], dtype=bucket[by].dtype),
                 out_right_id: pd.Series([], dtype="int64"),
                 "__delta_us": pd.Series([], dtype="int64"),
             })
         # deterministic right side: smallest id per (by, on) tie group
         r = r.sort_values([on, "__id"], kind="mergesort").drop_duplicates(
-            subset=[on], keep="first"
+            subset=[by, on], keep="first"
         )
         l = l.sort_values([on, "__id"], kind="mergesort")
-        r_on = r[on].to_numpy()
-        idx = np.searchsorted(r_on, l[on].to_numpy(), side="right") - 1
-        hit = idx >= 0
-        lm, rm = l[hit], r.iloc[idx[hit]]
+        m = pd.merge_asof(
+            l[[by, on, "__id"]].rename(columns={"__id": "__lid"}),
+            r[[by, on, "__id"]].rename(columns={"__id": "__rid",
+                                                 on: "__ron"}),
+            left_on=on, right_on="__ron", by=by,
+            direction="backward", allow_exact_matches=True,
+        )
+        m = m[m["__rid"].notna()]
+        lon, ron = m[on].to_numpy(), m["__ron"].to_numpy()
         delta = (
-            lm[on].to_numpy().astype("datetime64[us]").astype(np.int64)
-            - rm[on].to_numpy().astype("datetime64[us]").astype(np.int64)
+            lon.astype("datetime64[us]").astype(np.int64)
+            - ron.astype("datetime64[us]").astype(np.int64)
         ) if np.issubdtype(l[on].dtype, np.datetime64) else (
-            lm[on].to_numpy().astype(np.int64) - rm[on].to_numpy().astype(np.int64)
+            lon.astype(np.int64) - ron.astype(np.int64)
         )
         return pd.DataFrame({
-            left_id: lm["__id"].to_numpy(),
-            by: lm[by].to_numpy(),
-            out_right_id: rm["__id"].to_numpy(),
+            left_id: m["__lid"].to_numpy().astype(np.int64),
+            by: m[by].to_numpy(),
+            out_right_id: m["__rid"].to_numpy().astype(np.int64),
             "__delta_us": delta,
         })
 
-    if num_partitions is None:
-        from .partitioning import pick_partitions
+    from .partitioning import grouped_batch_map, pick_partitions
 
+    if num_partitions is None:
         num_partitions = pick_partitions(combined)
-    matched = combined.groupby(by, num_partitions=num_partitions).map_groups(
-        _match, batch_format="pandas"
-    )
+    matched = grouped_batch_map(combined, [by], _match,
+                                nparts=num_partitions)
     if out_delta_us:
         return matched.map_batches(
             lambda df: df.rename(columns={"__delta_us": out_delta_us}),

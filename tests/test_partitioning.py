@@ -223,3 +223,50 @@ def test_grouped_topk_high_cardinality_matches_pandas():
     want = want.sort_values(["g", "s", "id"],
                             ascending=[True, False, True]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["g", "s", "id"]], want[["g", "s", "id"]])
+
+
+def test_grouped_prefix_sum_matches_pandas_scan():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pacasam_ray.stages.scan import grouped_prefix_sum
+
+    rng = np.random.RandomState(11)
+    n = 30_000
+    df = pd.DataFrame({
+        "g": rng.randint(0, 7, n).astype(str),      # few hot groups (skew)
+        "o": rng.permutation(n * 3)[:n],            # sparse unique order keys
+        "v": rng.randint(0, 50, n),
+    })
+    want = df.sort_values(["g", "o"], kind="mergesort")
+    want = want.assign(prefix=want.groupby("g")["v"].cumsum() - want["v"])
+    for nparts in (3, 17):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        got = grouped_prefix_sum(ds, "g", "o", "v").to_pandas()
+        got = got.sort_values(["g", "o"], kind="mergesort")
+        np.testing.assert_array_equal(
+            got["prefix"].to_numpy(),
+            want["prefix"].to_numpy(),
+            err_msg=f"nparts={nparts}",
+        )
+
+
+def test_grouped_prefix_sum_single_group_many_buckets():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pacasam_ray.stages.scan import grouped_prefix_sum
+
+    n = 5_000
+    df = pd.DataFrame({"g": ["x"] * n,
+                       "o": np.arange(n)[::-1].copy(),
+                       "v": np.ones(n, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = grouped_prefix_sum(ds, "g", "o", "v",
+                             target_buckets=64).to_pandas()
+    got = got.sort_values("o", kind="mergesort")
+    # one hot group split across 64 range buckets: prefix == order key
+    np.testing.assert_array_equal(got["prefix"].to_numpy(),
+                                  np.arange(n, dtype=np.int64))
