@@ -4792,6 +4792,64 @@ FROM ch
 """
 
 
+BIGRAM_K = 20
+
+
+def q_bigram_counts(sf_dir: str):
+    """Global top-k bigrams (order-2 LM statistics). The per-batch kernel
+    pairs adjacent tokens with pure offsets arithmetic on the Arrow list
+    layout — flatten once, mask each document's last token so pairs never
+    cross doc boundaries, zero per-row Python — then local pair counts
+    (the combiner: one row per distinct bigram per block crosses the
+    shuffle), Sum groupby, partial top-k, tiny driver merge."""
+    from ray.data.aggregate import Sum
+
+    def _local(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if n < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        keep = np.ones(n, dtype=bool)
+        nz = offs[1:] > offs[:-1]
+        keep[offs[1:][nz] - 1] = False        # last token of each doc
+        df = pd.DataFrame({"w1": flat[:-1][keep[:-1]],
+                           "w2": flat[1:][keep[:-1]]})
+        return pa.Table.from_pandas(
+            df.groupby(["w1", "w2"], sort=False).size().reset_index(name="n"),
+            preserve_index=False)
+
+    counts = _docs(sf_dir).map_batches(_local, batch_format="pyarrow")
+    total = counts.groupby(["w1", "w2"],
+                           num_partitions=pick_partitions(counts)) \
+                  .aggregate(Sum("n", alias_name="n"))
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= BIGRAM_K:
+            return t
+        return t.sort_by([("n", "descending"), ("w1", "ascending"),
+                          ("w2", "ascending")]).slice(0, BIGRAM_K)
+
+    parts = total.map_batches(_local_topk, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["n", "w1", "w2"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(BIGRAM_K)
+    return out.reset_index(drop=True).astype({"n": "int64"})
+
+
+SQL_BIGRAM_COUNTS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+p AS (SELECT doc_id, l, unnest(range(1, array_length(l))) AS i FROM t)
+SELECT l[CAST(i AS INT)] AS w1, l[CAST(i AS INT) + 1] AS w2, COUNT(*) AS n
+FROM p GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT {BIGRAM_K}
+"""
+
+
 TOKRE_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
@@ -5121,6 +5179,7 @@ def build_queries() -> dict:
         "source_mix": q_source_mix,
         "cumulative_users": q_cumulative_users,
         "token_count_regex": q_token_count_regex,
+        "bigram_counts": q_bigram_counts,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -5248,6 +5307,7 @@ def build_oracle_sql() -> dict:
         "source_mix": _sql_source_mix(),
         "cumulative_users": SQL_CUMULATIVE_USERS,
         "token_count_regex": SQL_TOKEN_COUNT_REGEX,
+        "bigram_counts": SQL_BIGRAM_COUNTS,
     }
 
 
