@@ -33,6 +33,7 @@ import logging
 import pandas as pd
 import pyarrow as pa
 import ray
+from .io import read_parquet_sized
 
 from .catalogue import build_catalogue
 from .sources.pages import pages_from_documents, synthetic_pages
@@ -73,7 +74,7 @@ class ParquetConnector(Connector):
         self.db_path = db_path
 
     def get_catalogue(self) -> ray.data.Dataset:
-        ds = ray.data.read_parquet(
+        ds = read_parquet_sized(
             f"{self.db_path}/documents.parquet", columns=["doc_id", "n_chars", "lang"]
         )
         cat = build_catalogue(ds)
@@ -107,7 +108,7 @@ class ParquetSamplingConnector(Connector):
         self.db_path = db_path
 
     def get_catalogue(self) -> ray.data.Dataset:
-        ds = ray.data.read_parquet(self.db_path)
+        ds = read_parquet_sized(self.db_path)
         drop = [c for c in ("split", "sampler") if c in ds.schema().names]
         if drop:
             ds = ds.drop_columns(drop)

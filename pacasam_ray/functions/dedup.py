@@ -339,8 +339,10 @@ def minhash_lsh_pairs(ds, num_perm: int = 128, bands: int = 32, n: int = 3,
     # One vectorized Count aggregate finds the >= 2-member buckets; their
     # keys broadcast into a per-batch is_in filter, so map_groups only ever
     # sees genuine collision buckets.
-    counts = sigs.groupby(["band", "bucket"],
-                          num_partitions=pick_partitions(sigs)) \
+    # project the 1 KiB/row sig payload away before the count shuffle —
+    # only (band, bucket) key pairs move
+    counts = sigs.select_columns(["band", "bucket"]) \
+        .groupby(["band", "bucket"], num_partitions=pick_partitions(sigs)) \
         .aggregate(Count(alias_name="c"))
     hot = counts.filter(expr="c >= 2").select_columns(["band", "bucket"]).to_pandas()
     if not len(hot):
@@ -362,23 +364,52 @@ def minhash_lsh_pairs(ds, num_perm: int = 128, bands: int = 32, n: int = 3,
 
     cand = sigs.map_batches(_keep_collisions, batch_format="pyarrow")
 
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64),
-                                 "est_jaccard": pd.Series([], dtype=np.float64)})
-        g = g.sort_values(id_col, kind="mergesort")
-        ids = g[id_col].to_numpy()
-        sig = np.stack(g["sig"].to_numpy())
-        ia, ib = np.triu_indices(len(ids), 1)
-        est = (sig[ia] == sig[ib]).mean(axis=1)
-        keep = est >= tau
-        return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
-                             "est_jaccard": est[keep]})
+    def _bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        """One callback per hash-bucket PARTITION of (band, bucket) keys —
+        exact dup corpora put every dup pair in ~all `bands` buckets, so
+        collision buckets number O(pairs x bands) and a per-bucket
+        callback dominates wall time (measured 15k dispatches at 1000
+        docs). Here size-2 buckets (the overwhelming majority) are scored
+        in ONE vectorized signature comparison across the whole partition;
+        only >= 3-member buckets fall back to a per-bucket triu loop."""
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                              "doc_b": pd.Series([], dtype=np.int64),
+                              "est_jaccard": pd.Series([], dtype=np.float64)})
+        if len(part) < 2:
+            return empty
+        part = part.sort_values(["band", "bucket", id_col], kind="mergesort")
+        bb = part[["band", "bucket"]].to_numpy()
+        new_b = np.r_[True, (bb[1:] != bb[:-1]).any(axis=1)]
+        starts = np.flatnonzero(new_b)
+        sizes = np.diff(np.r_[starts, len(part)])
+        ids = part[id_col].to_numpy()
+        sig_cells = part["sig"].to_numpy()
+        out = []
+        two = starts[sizes == 2]
+        if len(two):
+            a = np.stack(sig_cells[two])        # (m, num_perm)
+            b = np.stack(sig_cells[two + 1])
+            est = (a == b).mean(axis=1)
+            keep = est >= tau
+            out.append(pd.DataFrame({"doc_a": ids[two][keep],
+                                     "doc_b": ids[two + 1][keep],
+                                     "est_jaccard": est[keep]}))
+        for s, ln in zip(starts[sizes > 2], sizes[sizes > 2]):
+            sig = np.stack(sig_cells[s:s + ln])
+            ia, ib = np.triu_indices(ln, 1)
+            est = (sig[ia] == sig[ib]).mean(axis=1)
+            keep = est >= tau
+            out.append(pd.DataFrame({"doc_a": ids[s + ia[keep]],
+                                     "doc_b": ids[s + ib[keep]],
+                                     "est_jaccard": est[keep]}))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
 
-    pairs = cand.groupby(["band", "bucket"],
-                         num_partitions=pick_group_partitions(cand)) \
-        .map_groups(_bucket_pairs, batch_format="pandas")
+    from ..stages.partitioning import grouped_batch_map
+
+    pairs = grouped_batch_map(cand, ["band", "bucket"], _bucket_pairs,
+                              nparts=pick_group_partitions(cand))
     # A pair colliding in k bands appears k times with an identical est —
     # dedup is a vectorized Min aggregate, not a per-group head(1).
     # scrub: the map_groups→aggregate chain emits schema-less zero-row

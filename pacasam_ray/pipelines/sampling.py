@@ -13,6 +13,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+from ..io import read_parquet_sized
 
 from ..catalogue import build_catalogue
 from ..samplers import SAMPLERS_LIBRARY
@@ -55,7 +56,7 @@ DEFAULT_CONFIG = {
 
 def make_catalogue(sf_dir: str) -> ray.data.Dataset:
     """documents.parquet → derived patch catalogue (columns pruned at read)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars", "lang"]
     )
     return build_catalogue(ds)

@@ -12,6 +12,7 @@ bit-for-bit at any Ray parallelism.
 from __future__ import annotations
 
 import numpy as np
+from .io import read_parquet_sized
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -104,7 +105,7 @@ SQL_ANTI_JOIN = (
 
 def q_dedup_exact(sf_dir: str):
     """M9/S1: exact dedup (hash-shuffle, pre-combined) keeping min-id rep."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
     ds = ds.map_batches(
         lambda t: t.append_column("dup_key", pc.cast(
             pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % DEDUP_MOD), pa.int64())),
@@ -499,7 +500,7 @@ SQL_EXTRACT_TEXT = "SELECT doc_id, text AS text_extracted FROM documents"
 
 def q_token_count(sf_dir: str):
     """Whitespace token count, vectorized Arrow kernels only."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _f(t: pa.Table) -> pa.Table:
         full = pc.cast(pc.utf8_length(t["text"]), pa.int64())
@@ -529,7 +530,7 @@ Q1_CUTOFF = "1998-09-02"
 def q_tpch_q1(sf_dir: str):
     """Pricing summary with EXACT integer-scaled money arithmetic (partial
     per-batch aggregation — the combine ships 4 rows per batch, not 600k)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                  "l_discount", "l_tax", "l_shipdate"],
@@ -625,7 +626,7 @@ SQL_PATH_REWRITE = (
 def q_distinct_lang_source(sf_dir: str):
     """Distinct-combination op (A1/`unique` analog): groupby keys with no
     aggregate = DISTINCT."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
     from ray.data.aggregate import Count
 
     return ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n_docs"))
@@ -646,19 +647,19 @@ def q_tpch_q3(sf_dir: str):
     revenue + top-k. Exact integer-cent arithmetic; the final top-k merges a
     tiny per-batch partial aggregate on the driver."""
     cutoff = np.datetime64(Q3_DATE + "T00:00:00.000000")
-    cust = ray.data.read_parquet(
+    cust = read_parquet_sized(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], Q3_SEGMENT)).select(["c_custkey"]),
         batch_format="pyarrow",
     )
-    orders = ray.data.read_parquet(
+    orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(
         lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
         batch_format="pyarrow",
     )
-    li = ray.data.read_parquet(
+    li = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(
@@ -734,7 +735,7 @@ def q_tpch_q5(sf_dir: str):
                        sup["s_nationkey"].to_numpy(np.int64)))
     region_keys = pa.array(list(nation_name), type=pa.int64())
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(
         lambda t: t.filter(pc.and_(
@@ -743,13 +744,13 @@ def q_tpch_q5(sf_dir: str):
         )).select(["o_orderkey", "o_custkey"]),
         batch_format="pyarrow",
     )
-    cust = ray.data.read_parquet(
+    cust = read_parquet_sized(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).map_batches(
         lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=region_keys)),
         batch_format="pyarrow",
     )
-    li = ray.data.read_parquet(
+    li = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
@@ -811,8 +812,8 @@ def q_tpch_q14(sf_dir: str):
     lo = np.datetime64(Q14_LO + "T00:00:00.000000")
     hi = np.datetime64(Q14_HI + "T00:00:00.000000")
 
-    part = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
-    li = ray.data.read_parquet(
+    part = read_parquet_sized(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    li = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(
@@ -856,7 +857,7 @@ def q_json_extract(sf_dir: str):
     """Scalar-function breadth: vectorized regex field extraction from the
     JSON-ish ``props`` column (pc.extract_regex — no Python row loop) +
     grouped exact sum."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
 
     def _partial(t: pa.Table) -> pa.Table:
         m = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>\d+)')
@@ -894,7 +895,7 @@ def q_events_window(sf_dir: str):
     row per (event_type, window) per input block, not every event."""
     from ray.data.aggregate import Max, Min, Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
@@ -948,7 +949,7 @@ def q_events_hopping(sf_dir: str):
     from ray.data.aggregate import Max, Min, Sum
 
     reps = WINDOW_US // HOP_US
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
@@ -1001,7 +1002,7 @@ def q_asof_join(sf_dir: str):
     from .stages.asof import asof_join_backward
 
     ev = f"{sf_dir}/events.parquet"
-    base = ray.data.read_parquet(ev, columns=["event_id", "user_id", "ts", "event_type"])
+    base = read_parquet_sized(ev, columns=["event_id", "user_id", "ts", "event_type"])
     clicks = base.filter(expr="event_type == 'click'")
     purchases = base.filter(expr="event_type == 'purchase'")
     return asof_join_backward(
@@ -1037,7 +1038,7 @@ def q_events_sessions(sf_dir: str):
     streams pay ~blocks dispatches."""
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
     )
 
@@ -1109,7 +1110,7 @@ def q_join_revenue(sf_dir: str):
     (sum is associative), so the shuffle moves one row per order per block
     (~4× fewer rows than raw lineitems) and the join output is already
     partially aggregated."""
-    li = ray.data.read_parquet(
+    li = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
 
@@ -1126,7 +1127,7 @@ def q_join_revenue(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     li = li.map_batches(_combine, batch_format="pyarrow", zero_copy_batch=True)
-    orders = ray.data.read_parquet(
+    orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
     joined = li.join(
@@ -1171,7 +1172,7 @@ GROUP BY o_orderpriority
 # ---------------------------------------------------------------------------
 
 def _docs(sf_dir: str, cols=("doc_id", "text")):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(cols))
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=list(cols))
 
 
 def q_text_quality(sf_dir: str):
@@ -1287,7 +1288,7 @@ def q_grouped_topk(sf_dir: str):
     shuffle."""
     from .stages.topk import grouped_topk
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
     )
     out = grouped_topk(ds, ["event_type"], "value", GROUPED_TOPK_K,
@@ -1311,7 +1312,7 @@ def q_median_price(sf_dir: str):
     equals ORDER BY ... LIMIT 1 OFFSET (n-1)//2."""
     from .stages.orderstats import percentile_disc
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
     )
     out = percentile_disc(ds, "l_extendedprice", 0.5)
@@ -1626,7 +1627,7 @@ def q_ann_topk(sf_dir: str):
     from .functions.similarity import ann_topk, load_query_matrix
 
     path = f"{sf_dir}/embeddings.parquet"
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
     qm = load_query_matrix(path, ANN_QUERY_IDS)
     return ann_topk(ds, qm, ANN_K)
 
@@ -1637,7 +1638,7 @@ def q_ann_topk_ivf(sf_dir: str):
     from .functions.similarity import ann_topk_ivf, fit_ivf_centroids, load_query_matrix
 
     path = f"{sf_dir}/embeddings.parquet"
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
     qm = load_query_matrix(path, ANN_QUERY_IDS)
     cent = fit_ivf_centroids(ds, nlist=16, sample_size=50_000)
     return ann_topk_ivf(ds, qm, ANN_K, cent, nprobe=6)
@@ -1648,7 +1649,7 @@ def q_embed_neardup(sf_dir: str):
     from .functions.similarity import embed_neardup
 
     path = f"{sf_dir}/embeddings.parquet"
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
     return embed_neardup(ds, tau=NEARDUP_TAU, corpus_path=path)
 
 
@@ -1658,7 +1659,7 @@ def q_embed_neardup_lsh(sf_dir: str):
     from .functions.similarity import embed_neardup_lsh
 
     path = f"{sf_dir}/embeddings.parquet"
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
     out = embed_neardup_lsh(ds, tau=NEARDUP_TAU, corpus_path=path)
     return out.map_batches(
         lambda df: df[["doc_a", "doc_b", "cos"]], batch_format="pandas"
@@ -1718,7 +1719,7 @@ def q_events_lag(sf_dir: str):
     not per user, the same 10^8-user scaling shape as sessionization."""
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
 
@@ -1755,7 +1756,7 @@ def q_grouped_median(sf_dir: str):
     ROW_NUMBER()/COUNT() window definition."""
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
     )
 
@@ -1799,7 +1800,7 @@ def q_grouped_quantiles(sf_dir: str):
     floats pass through untouched and the ROW_NUMBER oracle is exact."""
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
     )
 
@@ -1855,7 +1856,7 @@ def q_range_join(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     bounds = np.asarray(PRICE_BANDS)
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice", "l_quantity"]
     )
 
@@ -1908,7 +1909,7 @@ def q_semi_join(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     keys = np.sort(
-        ray.data.read_parquet(
+        read_parquet_sized(
             f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
         ).filter(expr=f"o_totalprice > {HIGH_ORDER_PRICE}")
         .select_columns(["o_orderkey"]).to_pandas()["o_orderkey"]
@@ -1916,7 +1917,7 @@ def q_semi_join(sf_dir: str):
     )
     keys_ref = ray.put(keys)
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_quantity"],
     )
@@ -1953,7 +1954,7 @@ def q_semi_join_shuffle(sf_dir: str):
 
     from .stages.partitioning import scrub_empty_blocks
 
-    raw = ray.data.read_parquet(
+    raw = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     ).filter(expr=f"o_totalprice > {HIGH_ORDER_PRICE}").select_columns(["o_orderkey"])
     keys = scrub_empty_blocks(
@@ -1961,7 +1962,7 @@ def q_semi_join_shuffle(sf_dir: str):
         .aggregate(Count(alias_name="c"))
     )
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_quantity"],
     )
@@ -1987,11 +1988,11 @@ def q_full_join(sf_dir: str):
         ids = t["c_custkey"].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(ids % 2 == 0))
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_sized(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).map_batches(_even, batch_format="pyarrow")
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).filter(expr=f"o_totalprice > {HIGH_ORDER_PRICE}")
 
@@ -2058,12 +2059,12 @@ def q_bloom_anti_join(sf_dir: str):
 
     from .stages.bloom import bloom_anti_join
 
-    high = ray.data.read_parquet(
+    high = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     ).filter(expr=f"o_totalprice > {HIGH_ORDER_PRICE}") \
      .select_columns(["o_orderkey"])
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_quantity"],
     )
@@ -2169,7 +2170,7 @@ def q_grouped_hll(sf_dir: str):
     registers never materialize."""
     from .functions.dedup import grouped_distinct_hll
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
     return grouped_distinct_hll(ds, "event_type", "user_id")
@@ -2282,7 +2283,7 @@ def q_rank_window(sf_dir: str):
     per-group-dispatch-free shape mandated for 10^8-key windows."""
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "value", "event_id"]
     )
 
@@ -2330,7 +2331,7 @@ def q_rolling_window(sf_dir: str):
     vectorized, no per-group or per-row dispatch."""
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
     )
 
@@ -2385,7 +2386,7 @@ def q_ntile(sf_dir: str):
     from .samplers.algos import strata_counts
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
     counts = strata_counts(ds, "n_chars").sort_values("n_chars")
@@ -2428,7 +2429,7 @@ def q_pivot(sf_dir: str):
     second reduce, no per-group callback, exact ints."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderstatus"]
     )
 
@@ -2473,7 +2474,7 @@ def q_mode_flag(sf_dir: str):
 
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_returnflag"]
     )
 
@@ -2533,7 +2534,7 @@ def q_cross_source(sf_dir: str):
 
     from .functions.dedup import md5_int
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
 
@@ -2855,10 +2856,10 @@ def q_left_join(sf_dir: str):
     COALESCE(0) on both engines."""
     from ray.data.aggregate import Sum
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_sized(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    orders = ray.data.read_parquet(
+    orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     ).filter(expr=f"o_totalprice > {HIGH_ORDER_PRICE}")
 
@@ -2924,7 +2925,7 @@ def q_grouped_corr(sf_dir: str):
     but |groups| tiny rows crosses the shuffle."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_discount"],
     )
@@ -2988,7 +2989,7 @@ def q_grouped_histogram(sf_dir: str):
     both engines, so even edge-landing doubles bin identically."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
 
@@ -3033,7 +3034,7 @@ def q_funnel(sf_dir: str):
 
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
     )
 
@@ -3101,7 +3102,7 @@ def q_kmeans_assign(sf_dir: str):
     cnorms = (cm * cm).sum(axis=1)
     cm_ref = ray.put((cm, cnorms))
 
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
 
     def _assign(t: pa.Table) -> pa.Table:
         from .functions.similarity import quantize
@@ -3161,7 +3162,7 @@ def q_percent_rank(sf_dir: str):
     the oracle bit-for-bit at any parallelism."""
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "value", "event_id"]
     )
 
@@ -3229,7 +3230,7 @@ def q_zscore_outlier(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     stats = (
-        ray.data.read_parquet(path, columns=["event_type", "value"])
+        read_parquet_sized(path, columns=["event_type", "value"])
         .map_batches(_partial, batch_format="pyarrow")
         .to_pandas()
         .groupby("event_type", as_index=False)
@@ -3257,7 +3258,7 @@ def q_zscore_outlier(sf_dir: str):
 
     from .stages.partitioning import schema_floor
 
-    out = ray.data.read_parquet(
+    out = read_parquet_sized(
         path, columns=["event_id", "event_type", "value"]
     ).map_batches(_filter, batch_format="pyarrow")
     return schema_floor(out, pd.DataFrame({
@@ -3292,7 +3293,7 @@ def q_dedup_keep_best(sf_dir: str):
     boundary mask picks every winner — vectorized across groups."""
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
     ).map_batches(
         lambda t: pa.table({
@@ -3337,7 +3338,7 @@ def q_string_agg_sorted(sf_dir: str):
     and `pc.binary_join` concatenates every list in one C kernel."""
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
     )
 
@@ -3389,7 +3390,7 @@ def q_group_gini(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     counts = (
-        ray.data.read_parquet(path, columns=["lang", "source"])
+        read_parquet_sized(path, columns=["lang", "source"])
         .map_batches(_partial, batch_format="pyarrow")
         .to_pandas()
         .groupby(["lang", "source"], as_index=False)["c"].sum()
@@ -3444,7 +3445,7 @@ def q_pareto_front(sf_dir: str):
         dominated = (prev_min <= size) | (run_first_size < size)
         return df.loc[~dominated]
 
-    parts = ray.data.read_parquet(
+    parts = read_parquet_sized(
         path, columns=["p_partkey", "p_retailprice", "p_size"]
     ).map_batches(_local, batch_format="pandas").to_pandas()
     return _local(parts)[["p_partkey", "p_retailprice", "p_size"]].reset_index(drop=True)
@@ -3559,7 +3560,7 @@ def q_csv_roundtrip(sf_dir: str):
     this is the standard parquet→CSV export path with no extra
     shuffle."""
     out = _roundtrip_dir("csv")
-    ray.data.read_parquet(
+    read_parquet_sized(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "event_type", "value"],
     ).write_csv(out)
@@ -3598,7 +3599,7 @@ def q_jsonl_roundtrip(sf_dir: str):
     from .functions.dedup import md5_int
 
     out = _roundtrip_dir("jsonl")
-    ray.data.read_parquet(
+    read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars", "text"]
     ).write_json(out)
 
@@ -3845,7 +3846,7 @@ def q_cohort_retention(sf_dir: str):
 
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )
 
@@ -3885,7 +3886,7 @@ def q_events_lead(sf_dir: str):
     event (NULL on the last). Same one-shuffle partition-vectorized shape."""
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
 
@@ -3918,7 +3919,7 @@ def q_unpivot_part(sf_dir: str):
     (p_partkey, attr, val) rows. Pure per-batch Arrow concat — the column
     arrays are reused zero-copy, only the constant `attr` column is new;
     no shuffle, output is exactly 2× the input rows."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
     )
 
@@ -3979,7 +3980,7 @@ def q_source_intersect(sf_dir: str):
     from .stages.partitioning import scrub_empty_blocks
 
     def _side(parity: int):
-        raw = ray.data.read_parquet(
+        raw = read_parquet_sized(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
         ).map_batches(
             lambda t, p=parity: t.filter(
@@ -4019,7 +4020,7 @@ def q_source_except(sf_dir: str):
     from .stages.partitioning import scrub_empty_blocks
 
     def _side(parity: int):
-        raw = ray.data.read_parquet(
+        raw = read_parquet_sized(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
         ).map_batches(
             lambda t, p=parity: t.filter(
@@ -4067,7 +4068,7 @@ def q_tfidf_topk(sf_dir: str):
 
     from .stages.partitioning import grouped_batch_map
 
-    n_docs = ray.data.read_parquet(
+    n_docs = read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
 
     def _tf(t: pa.Table) -> pa.Table:
@@ -4245,7 +4246,7 @@ def q_transition_counts(sf_dir: str):
 
     from .stages.partitioning import grouped_batch_map, pick_partitions
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
     )
 
@@ -4293,7 +4294,7 @@ def q_time_range_window(sf_dir: str):
     interval (ts + user_index·BIG), so there is no per-user loop."""
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
 
@@ -4339,7 +4340,7 @@ def q_window_dedup(sf_dir: str):
     mergesort + boundary mask across all keys at once."""
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
     )
 
@@ -4452,7 +4453,7 @@ def q_events_dedup_latest(sf_dir: str):
     one partition-level mergesort + boundary mask across all keys."""
     from .stages.partitioning import grouped_batch_map
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "event_id", "event_type", "value"],
     )
@@ -4494,7 +4495,7 @@ def q_quantile_bucketize(sf_dir: str):
     from .stages.orderstats import kth_smallest_value
 
     path = f"{sf_dir}/orders.parquet"
-    ds = ray.data.read_parquet(path, columns=["o_orderkey", "o_totalprice"])
+    ds = read_parquet_sized(path, columns=["o_orderkey", "o_totalprice"])
     n = ds.count()
     cuts = np.array([
         kth_smallest_value(ds, "o_totalprice", -(-q * n // 4))
@@ -4539,7 +4540,7 @@ def q_tpch_q12(sf_dir: str):
     lo = np.datetime64(Q12_LO + "T00:00:00.000000")
     hi = np.datetime64(Q12_HI + "T00:00:00.000000")
 
-    li = ray.data.read_parquet(
+    li = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_shipdate"],
     ).map_batches(
@@ -4549,7 +4550,7 @@ def q_tpch_q12(sf_dir: str):
         )).select(["l_orderkey", "l_returnflag"]),
         batch_format="pyarrow",
     )
-    orders = ray.data.read_parquet(
+    orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
     j = li.join(orders, join_type="inner",
@@ -4595,7 +4596,7 @@ def q_weighted_avg(sf_dir: str):
     integer combiner, tiny Sum groupby."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_discount"],
     )
@@ -4638,7 +4639,7 @@ def q_dow_activity(sf_dir: str):
     functions whose week conventions could disagree."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
     )
 
@@ -4749,7 +4750,7 @@ def q_doc_chunk(sf_dir: str):
     (doc_id, chunk_id, chunk); a doc shorter than one window still yields
     its chunk 0 (training shards must not silently drop short docs).
     """
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -4859,7 +4860,7 @@ def q_token_count_regex(sf_dir: str):
     Arrow's `count_substring_regex` and DuckDB's `regexp_extract_all` share
     the RE2 engine, so counts agree exactly; complements the whitespace
     counter (`token_count`) the quality suite uses."""
-    return ray.data.read_parquet(
+    return read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(
         lambda t: pa.table({
@@ -4907,7 +4908,7 @@ def q_source_mix(sf_dir: str):
         h = hmix(t["doc_id"].to_numpy(zero_copy_only=False), MIX_SALT)
         return t.filter(pa.array(h * 100 < pct * M31))
 
-    return ray.data.read_parquet(
+    return read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
     ).map_batches(_keep, batch_format="pyarrow")
 
@@ -4936,7 +4937,7 @@ def q_cumulative_users(sf_dir: str):
 
     from .stages.scan import grouped_prefix_sum
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
     )
 
@@ -4967,6 +4968,12 @@ def q_cumulative_users(sf_dir: str):
     hourly = hourly.groupby("hour", num_partitions=pick_partitions(hourly)) \
                    .aggregate(Sum("n", alias_name="n"),
                               Min("grp", alias_name="grp"))
+    # the scan consumes its input three times (min/max, partials, apply);
+    # checkpoint the hour table — one row per hour, tiny by construction —
+    # so the events read + two shuffles above run once, not three times
+    from .stages.partitioning import checkpoint
+
+    hourly = checkpoint(hourly, "cumusers_hourly")
     scanned = grouped_prefix_sum(hourly, "grp", "hour", "n",
                                  out_col="__prefix")
     return scanned.map_batches(
@@ -5007,7 +5014,7 @@ def q_pack_linear(sf_dir: str):
     from .functions.text import token_count
     from .stages.scan import grouped_prefix_sum
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
     ).map_batches(
         lambda t: t.append_column("ntok", token_count(t["text"]))

@@ -20,6 +20,8 @@ move ``html``.
 
 from __future__ import annotations
 
+from .io import read_parquet_sized
+
 import argparse
 import logging
 import sys
@@ -51,7 +53,7 @@ def run(args: argparse.Namespace) -> dict:
     from .connectors import attach_pages
     from .pipelines.extraction import run_extraction
 
-    selection = ray.data.read_parquet(
+    selection = read_parquet_sized(
         args.sampling_path, columns=["patch_id", "split", "sampler"]
     ).to_pandas()
     # CopySampler stamps split=None; fill per-row (a PARTIALLY-null split

@@ -22,6 +22,8 @@ Parquet instead of GeoPackage.
 
 from __future__ import annotations
 
+from .io import read_parquet_sized
+
 import argparse
 import logging
 import shutil
@@ -84,7 +86,7 @@ def run(args: argparse.Namespace) -> Path:
     log.info("sampling written to %s (%d patches)", sampling_path, len(selection))
 
     if args.make_stats:
-        sampling_ds = ray.data.read_parquet(str(sampling_path))
+        sampling_ds = read_parquet_sized(str(sampling_path))
         Comparer(out_dir / "stats").compare(catalogue, sampling_ds)
     return sampling_path
 

@@ -19,6 +19,7 @@ The per-row invariant (BASELINE.json): the ``text`` payload embedded into
 from __future__ import annotations
 
 import numpy as np
+from ..io import read_parquet_sized
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -108,7 +109,7 @@ def synthetic_pages(n: int = 10_000, *, override_num_blocks: int | None = None) 
 
 def pages_from_documents(sf_dir: str) -> ray.data.Dataset:
     """documents.parquet → page table (url embeds doc_id; html wraps text)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
 

@@ -17,6 +17,8 @@ know better (e.g. post-aggregation cardinality) pass ``est_bytes``.
 
 from __future__ import annotations
 
+from ..io import read_parquet_sized
+
 # ~256 MiB of in-memory Arrow per shuffle partition: big enough to amortize
 # Ray's per-task overhead, small enough that a reducer (partition + its
 # hash-build structures) stays well inside a worker heap.
@@ -123,7 +125,7 @@ def checkpoint(ds, tag: str, est_bytes: int | None = None,
     if est is not None and est > spill_threshold_bytes:
         path = tempfile.mkdtemp(prefix=f"pacasam_ckpt_{tag}_", dir="/tmp")
         ds.write_parquet(path)
-        return _ray.data.read_parquet(path)
+        return read_parquet_sized(path)
     return ds.materialize()
 
 
