@@ -27,10 +27,13 @@ EVENT_QUERIES = [
     "percent_rank", "rank_window", "events_lag", "events_lead",
     "string_agg_sorted", "window_dedup", "time_range_window",
     "events_dedup_latest", "transition_counts", "events_sessions",
+    "cumulative_users",
 ]
 
 DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
-               "repetition_ratio", "tfidf_topk"]
+               "repetition_ratio", "tfidf_topk", "heavy_hitters",
+               "doc_chunk", "pack_linear", "source_mix", "bigram_counts",
+               "token_count_regex"]
 
 
 def _assert_parity(name, sf_dir, con):
