@@ -4793,6 +4793,106 @@ FROM ch
 """
 
 
+PR_OFF = 1_000_000   # supplier node-id offset into the shared node space
+PR_ITERS = 2
+PR_SCALE = 100_000   # initial score; damping in exact ints: 15000 + 85·x//100
+
+
+def q_pagerank(sf_dir: str):
+    """Iterative PageRank (damped random walk) over the symmetrized
+    part↔supplier graph — the engine's iterative-algorithm showcase. All
+    arithmetic is integer (score//deg per edge, 15000 + 85·Σ//100 damping)
+    so two unrolled iterations are bit-mirrorable as SQL CTEs. Plan: the
+    (edges ⋈ outdegree) table is built ONCE and checkpointed; each
+    iteration is one hash join (edges ⋈ scores on src) + one pre-combined
+    Sum groupby on dst — the standard bulk-synchronous-parallel shape, no
+    driver-side graph state, so iterations scale to billion-edge graphs."""
+    from ray.data.aggregate import Sum
+
+    from .stages.partitioning import checkpoint, scrub_empty_blocks
+
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+
+    def _edges(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64) + PR_OFF
+        return pa.table({"src": np.concatenate([p, s]),
+                         "dst": np.concatenate([s, p])})
+
+    e = li.map_batches(_edges, batch_format="pyarrow")
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"src": t["src"].to_numpy(zero_copy_only=False),
+                           "d": 1})
+        return pa.Table.from_pandas(
+            df.groupby("src", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    pre = e.map_batches(_deg_partial, batch_format="pyarrow")
+    deg = scrub_empty_blocks(
+        pre.groupby("src", num_partitions=pick_partitions(pre))
+           .aggregate(Sum("d", alias_name="d")))
+    # one row per edge with its source's outdegree — reused every iteration
+    ed = checkpoint(
+        e.join(deg, join_type="inner",
+               num_partitions=pick_partitions(e, deg), on=("src",)),
+        "pagerank_edges")
+
+    scores = deg.map_batches(
+        lambda t: pa.table({
+            "node": t["src"],
+            "score": pa.array(np.full(t.num_rows, PR_SCALE, np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    for _ in range(PR_ITERS):
+        j = ed.join(scrub_empty_blocks(scores), join_type="inner",
+                    num_partitions=pick_partitions(ed),
+                    on=("src",), right_on=("node",))
+
+        def _contrib(t: pa.Table) -> pa.Table:
+            c = (t["score"].to_numpy(zero_copy_only=False)
+                 // t["d"].to_numpy(zero_copy_only=False))
+            df = pd.DataFrame({
+                "node": t["dst"].to_numpy(zero_copy_only=False), "c": c})
+            return pa.Table.from_pandas(
+                df.groupby("node", sort=False, as_index=False).sum(),
+                preserve_index=False)
+
+        summed = j.map_batches(_contrib, batch_format="pyarrow")
+        scores = summed.groupby("node",
+                                num_partitions=pick_partitions(summed)) \
+            .aggregate(Sum("c", alias_name="c")) \
+            .map_batches(
+                lambda t: pa.table({
+                    "node": t["node"],
+                    "score": pa.array(
+                        15000 + (85 * t["c"].to_numpy(zero_copy_only=False))
+                        // 100, pa.int64()),
+                }),
+                batch_format="pyarrow",
+            )
+    return scores
+
+
+SQL_PAGERANK = f"""
+WITH e AS (
+  SELECT l_partkey AS src, {PR_OFF} + l_suppkey AS dst FROM lineitem
+  UNION ALL
+  SELECT {PR_OFF} + l_suppkey AS src, l_partkey AS dst FROM lineitem),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+s0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS score FROM deg),
+s1 AS (SELECT e.dst AS node, 15000 + (85 * SUM(s0.score // deg.d)) // 100 AS score
+       FROM e JOIN deg ON e.src = deg.src JOIN s0 ON s0.node = e.src
+       GROUP BY e.dst),
+s2 AS (SELECT e.dst AS node, 15000 + (85 * SUM(s1.score // deg.d)) // 100 AS score
+       FROM e JOIN deg ON e.src = deg.src JOIN s1 ON s1.node = e.src
+       GROUP BY e.dst)
+SELECT node, CAST(score AS BIGINT) AS score FROM s2
+"""
+
+
 BIGRAM_K = 20
 
 
@@ -5187,6 +5287,7 @@ def build_queries() -> dict:
         "cumulative_users": q_cumulative_users,
         "token_count_regex": q_token_count_regex,
         "bigram_counts": q_bigram_counts,
+        "pagerank": q_pagerank,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -5315,6 +5416,7 @@ def build_oracle_sql() -> dict:
         "cumulative_users": SQL_CUMULATIVE_USERS,
         "token_count_regex": SQL_TOKEN_COUNT_REGEX,
         "bigram_counts": SQL_BIGRAM_COUNTS,
+        "pagerank": SQL_PAGERANK,
     }
 
 
