@@ -4793,6 +4793,56 @@ FROM ch
 """
 
 
+REBAL_SALT = 5531
+
+
+def q_rebalance_lang(sf_dir: str):
+    """Distribution rebalancing (importance downsampling): subsample each
+    language toward an equal share of the corpus — the data-DERIVED twin
+    of `source_mix`'s static rates. Pass 1: per-lang counts (shuffle-free
+    per-batch combiner + tiny driver merge). Pass 2: keep a row iff
+    hmix(doc_id)·N_lang < T·2³¹ where T = total//n_langs — the per-group
+    acceptance rate min(1, T/N_lang) expressed as a pure int64 inequality,
+    so membership is deterministic at any parallelism and the SQL twin is
+    bit-exact. Over-represented langs shrink to ~T docs, under-represented
+    ones pass through whole (rate clamps at 1)."""
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+
+    def _counts(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": t["lang"].to_numpy(zero_copy_only=False),
+                           "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    cnt = ds.map_batches(_counts, batch_format="pyarrow").to_pandas() \
+            .groupby("lang", as_index=False)["n"].sum()
+    total = int(cnt["n"].sum())
+    target = total // len(cnt)
+    langs = cnt["lang"].to_numpy()
+    order = np.argsort(langs, kind="stable")
+    langs_s, ns_s = langs[order], cnt["n"].to_numpy()[order].astype(np.int64)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        lg = t["lang"].to_numpy(zero_copy_only=False)
+        n_lang = ns_s[np.searchsorted(langs_s, lg)]
+        h = hmix(t["doc_id"].to_numpy(zero_copy_only=False), REBAL_SALT)
+        return t.filter(pa.array(h * n_lang < target * M31))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+SQL_REBALANCE_LANG = f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+     t AS (SELECT (SELECT COUNT(*) FROM documents)
+                  // (SELECT COUNT(*) FROM c) AS target)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c ON d.lang = c.lang
+WHERE ({hmix_sql('d.doc_id', REBAL_SALT)}) * c.n < (SELECT target FROM t) * {M31}
+"""
+
+
 PR_OFF = 1_000_000   # supplier node-id offset into the shared node space
 PR_ITERS = 2
 PR_SCALE = 100_000   # initial score; damping in exact ints: 15000 + 85·x//100
@@ -5288,6 +5338,7 @@ def build_queries() -> dict:
         "token_count_regex": q_token_count_regex,
         "bigram_counts": q_bigram_counts,
         "pagerank": q_pagerank,
+        "rebalance_lang": q_rebalance_lang,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -5417,6 +5468,7 @@ def build_oracle_sql() -> dict:
         "token_count_regex": SQL_TOKEN_COUNT_REGEX,
         "bigram_counts": SQL_BIGRAM_COUNTS,
         "pagerank": SQL_PAGERANK,
+        "rebalance_lang": SQL_REBALANCE_LANG,
     }
 
 
