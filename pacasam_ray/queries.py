@@ -1535,12 +1535,14 @@ def q_minhash_dedup(sf_dir: str):
     # Only ids touched by a candidate pair need their text hashed — collect
     # the DISTINCT id set (ids only, never texts) and broadcast it into the
     # fingerprint stage: O(candidates) hashing, never O(corpus).
-    idp = pairs.map_batches(
-        lambda df: pd.DataFrame({"doc_id": np.unique(np.concatenate(
-            [df["doc_a"].to_numpy(), df["doc_b"].to_numpy()]))}),
-        batch_format="pandas",
-    ).to_pandas()
-    pair_ids = pa.array(np.unique(idp["doc_id"].to_numpy()))
+    # pairs is already materialized (tiny): stream its blocks on the driver
+    # instead of launching another dataset execution for the id set
+    ids_seen: list[np.ndarray] = []
+    for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow"):
+        ids_seen.append(b["doc_a"].to_numpy(zero_copy_only=False))
+        ids_seen.append(b["doc_b"].to_numpy(zero_copy_only=False))
+    pair_ids = pa.array(np.unique(np.concatenate(ids_seen))
+                        if ids_seen else np.array([], dtype=np.int64))
 
     def _fp_map(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t["doc_id"], value_set=pair_ids))
