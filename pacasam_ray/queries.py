@@ -4795,6 +4795,83 @@ FROM ch
 """
 
 
+SOURCE_CAP_K = 20
+
+
+def q_source_cap(sf_dir: str):
+    """Per-host crawl cap: keep at most K documents per source (smallest
+    doc_id wins — first-crawled). Rides `stages/topk.grouped_topk`: per
+    batch combiner prunes to ≤ K rows/source/block before the shuffle,
+    reduce side is one vectorized sort per hash-bucket partition."""
+    from .stages.topk import grouped_topk
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source"])
+    return grouped_topk(ds, ["source"], "doc_id", SOURCE_CAP_K,
+                        descending=False)
+
+
+SQL_SOURCE_CAP = f"""
+SELECT doc_id, source FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+        <= {SOURCE_CAP_K}
+"""
+
+
+WINS_LO_PCT, WINS_HI_PCT = 1, 99
+
+
+def q_winsorize(sf_dir: str):
+    """Winsorization (outlier clipping at the exact p1/p99 order
+    statistics): two histogram-refinement quickselects over int64 cents
+    (`stages/orderstats.kth_smallest_value` — count passes only, no sort
+    shuffle, O(1) driver memory) broadcast into one clip kernel per
+    batch. The single float is one IEEE division of exact cents."""
+    from .stages.orderstats import kth_smallest_value
+
+    ds = read_parquet_sized(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "o_orderkey": t["o_orderkey"],
+                "c": pa.array(np.rint(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64)),
+            }),
+            batch_format="pyarrow",
+        )
+    n = ds.count()
+    k_lo = (n * WINS_LO_PCT + 99) // 100
+    k_hi = (n * WINS_HI_PCT + 99) // 100
+    lo_v = np.int64(kth_smallest_value(ds, "c", int(k_lo)))
+    hi_v = np.int64(kth_smallest_value(ds, "c", int(k_hi)))
+
+    return ds.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "winsorized": pa.array(np.clip(
+                t["c"].to_numpy(zero_copy_only=False), lo_v, hi_v
+            ).astype(np.float64) / 100.0),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_WINSORIZE = f"""
+WITH p AS (SELECT o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM p),
+ks AS (SELECT (COUNT(*) * {WINS_LO_PCT} + 99) // 100 AS k_lo,
+              (COUNT(*) * {WINS_HI_PCT} + 99) // 100 AS k_hi FROM p),
+lo AS (SELECT c AS v FROM r WHERE rn = (SELECT k_lo FROM ks)),
+hi AS (SELECT c AS v FROM r WHERE rn = (SELECT k_hi FROM ks))
+SELECT o_orderkey,
+       CAST(LEAST(GREATEST(c, (SELECT v FROM lo)), (SELECT v FROM hi))
+            AS DOUBLE) / 100.0 AS winsorized
+FROM p
+"""
+
+
 REBAL_SALT = 5531
 
 
@@ -5341,6 +5418,8 @@ def build_queries() -> dict:
         "bigram_counts": q_bigram_counts,
         "pagerank": q_pagerank,
         "rebalance_lang": q_rebalance_lang,
+        "source_cap": q_source_cap,
+        "winsorize": q_winsorize,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -5471,6 +5550,8 @@ def build_oracle_sql() -> dict:
         "bigram_counts": SQL_BIGRAM_COUNTS,
         "pagerank": SQL_PAGERANK,
         "rebalance_lang": SQL_REBALANCE_LANG,
+        "source_cap": SQL_SOURCE_CAP,
+        "winsorize": SQL_WINSORIZE,
     }
 
 
