@@ -151,10 +151,40 @@ def big_throughput() -> dict:
     t0 = time.perf_counter()
     n = pipeline().count()
     sec = time.perf_counter() - t0
+
+    # second big leg: the LLM-suite signature op at volume — exact content
+    # dedup in its scale-correct shape (md5 int64 fingerprint per batch,
+    # THEN the hash shuffle + min-tiebreak representative join — ints move,
+    # never the text payload)
+    import hashlib
+
+    import pyarrow as pa
+
+    from pacasam_ray.stages.dedup import dedup_exact_prehashed
+
+    def dedup_pipeline():
+        ds = ray.data.read_parquet(big_dir, columns=["text", "doc_id"])
+
+        def _fp(t: pa.Table) -> pa.Table:
+            fps = pa.array([hashlib.md5(x.encode()).hexdigest()
+                            for x in t["text"].to_pylist()])
+            # project the text payload away BEFORE any shuffle
+            return pa.table({"doc_id": t["doc_id"], "content_key": fps})
+
+        fp = ds.map_batches(_fp, batch_format="pyarrow")
+        return dedup_exact_prehashed(fp, "content_key", "doc_id")
+
+    dedup_pipeline().count()  # warm (untimed)
+    t1 = time.perf_counter()
+    nd = dedup_pipeline().count()
+    dsec = time.perf_counter() - t1
     return {
         "big_n_docs": n,
         "big_headline_sec": round(sec, 3),
         "big_docs_per_sec": round(n / sec, 1),
+        "big_dedup_rows": nd,
+        "big_dedup_sec": round(dsec, 3),
+        "big_dedup_docs_per_sec": round(n / dsec, 1),
     }
 
 

@@ -18,32 +18,30 @@ def dedup_exact(ds, key: str, tiebreak: str | None = None,
                 num_partitions: int | None = None):
     """Keep the row with the smallest ``tiebreak`` per ``key`` group.
 
-    Plan: ``groupby(key).aggregate(Min(tiebreak))`` → equi-join the (key,
-    min) pairs back against the rows on BOTH columns. Fully vectorized:
-    a per-group Python callback (`map_groups`) costs ~50 µs/group and
-    dominated wall time at 10⁶ distinct keys (87 s → 8 s for 1.5M groups
-    at 2M rows). Requires ``tiebreak`` unique within each key group (it is
-    a row id in every call site) — otherwise ties would keep >1 row.
+    Plan: ONE hash shuffle — co-locate whole key groups by key-hash bucket
+    (`grouped_batch_map`), then one vectorized mergesort + duplicated-mask
+    per ~256 MiB partition. No per-group Python (a `map_groups` callback
+    costs ~50 µs/group — 87 s at 1.5M groups), and no join-back: the
+    earlier Min-aggregate → equi-join plan paid a second all-to-all and
+    Ray's actor-based hash join dominated (measured on a 2M-row md5-key
+    dedup at 32 cpus: aggregate+join 31-40 s, this plan 9.4 s).
+    Representative choice is a pure group function (min tiebreak), so the
+    result is partition-count invariant either way.
     """
-    from ray.data.aggregate import Min
-
-    from .partitioning import pick_partitions, scrub_empty_blocks
+    from .partitioning import grouped_batch_map, pick_group_partitions
 
     if num_partitions is None:
-        num_partitions = pick_partitions(ds)
+        # a grouped_batch_map reduce is a pandas-callback-per-partition
+        # stage: CPU-floored count (measured 9.4 s at 32 parts vs 14.6 s
+        # at 8 on the 2M-row leg)
+        num_partitions = pick_group_partitions(ds)
     tb = tiebreak or key
-    # scrub: empty reduce partitions emit schema-less zero-row blocks that
-    # crash the pyarrow hash join ("No match for key field reference") —
-    # hit whenever distinct keys < num_partitions (tiny/adversarial inputs)
-    reps = scrub_empty_blocks(
-        ds.groupby(key, num_partitions=num_partitions).aggregate(
-            Min(tb, alias_name="__min_tb")
-        )
-    )
-    return ds.join(
-        reps, join_type="inner", num_partitions=num_partitions,
-        on=(key, tb), right_on=(key, "__min_tb"),
-    )
+
+    def _keep_min(df):
+        df = df.sort_values([key, tb], kind="mergesort")
+        return df[~df[key].duplicated()]
+
+    return grouped_batch_map(ds, [key], _keep_min, nparts=num_partitions)
 
 
 def dedup_exact_prehashed(ds, key: str, tiebreak: str):
