@@ -9,6 +9,8 @@ DuckDB oracle bit-for-bit on every draw. Each example writes a real
 parquet dir and runs the real pipelines (no mocked kernels).
 """
 
+import os
+
 import duckdb
 import numpy as np
 import pandas as pd
@@ -68,7 +70,10 @@ doc_texts = st.lists(
 )
 
 
-@settings(max_examples=4, deadline=None,
+FUZZ_EXAMPLES = int(os.environ.get("GRAFT_FUZZ_EXAMPLES", "4"))
+
+
+@settings(max_examples=FUZZ_EXAMPLES, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(rows=events_frames)
 def test_fuzz_event_windows(rows, ray_session, tmp_path_factory):
@@ -89,7 +94,7 @@ def test_fuzz_event_windows(rows, ray_session, tmp_path_factory):
     con.close()
 
 
-@settings(max_examples=3, deadline=None,
+@settings(max_examples=max(3, FUZZ_EXAMPLES * 3 // 4), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=doc_texts)
 def test_fuzz_doc_dedup(texts, ray_session, tmp_path_factory):
