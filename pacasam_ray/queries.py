@@ -4189,13 +4189,22 @@ def q_edit_neardup(sf_dir: str):
 
     pairs = simhash_neardup_pairs(_docs(sf_dir), max_hamming=HAMMING_D)
     pairs = scrub_empty_blocks(pairs.map_batches(
-        lambda df: df[["doc_a", "doc_b"]], batch_format="pandas"))
+        lambda df: df[["doc_a", "doc_b"]], batch_format="pandas")).materialize()
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                           "doc_b": pd.Series([], dtype=np.int64),
                           "dist": pd.Series([], dtype=np.int64)})
     if pairs.count() == 0:
         return empty
-    docs = _docs(sf_dir)
+    # candidate pairs ≪ corpus: broadcast their id set into a filter so the
+    # text-attach joins shuffle O(candidates) rows, never the corpus twice
+    ids_seen = []
+    for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow"):
+        ids_seen.append(b["doc_a"].to_numpy(zero_copy_only=False))
+        ids_seen.append(b["doc_b"].to_numpy(zero_copy_only=False))
+    cand_ids = pa.array(np.unique(np.concatenate(ids_seen)))
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=cand_ids)),
+        batch_format="pyarrow")
     pa_join = pairs.join(docs, join_type="inner",
                          num_partitions=pick_partitions(pairs, docs),
                          on=("doc_a",), right_on=("doc_id",))
