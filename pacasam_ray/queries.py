@@ -4804,6 +4804,48 @@ FROM ch
 """
 
 
+def q_partitioned_roundtrip(sf_dir: str):
+    """Partitioned sink + partition-pruned source (the resumable-output
+    contract as a query): documents → `write_parquet(partition_cols=
+    ['lang'])` (one directory per language, the layout a failed run can
+    resume by skipping finished partitions) → fresh read of ONLY the
+    needed partitions via a partition filter — file pruning, the filter
+    never touches row data — → per-source exact aggregate of the two
+    picked languages."""
+    out = _roundtrip_dir("hive")
+    read_parquet_sized(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    ).write_parquet(out, partition_cols=["lang"])
+
+    back = ray.data.read_parquet(
+        out, partition_filter=ray.data.datasource.partitioning.PathPartitionFilter.of(
+            lambda kv: kv.get("lang") in ("en", "fr"), style="hive"),
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "n": 1,
+            "chars": t["n_chars"].to_numpy(zero_copy_only=False),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    agg = back.map_batches(_partial, batch_format="pyarrow").to_pandas() \
+              .groupby("source", as_index=False).sum()
+    agg = agg.sort_values("source", kind="mergesort").reset_index(drop=True)
+    return agg[["source", "n", "chars"]].astype({"n": "int64", "chars": "int64"})
+
+
+SQL_PARTITIONED_ROUNDTRIP = """
+SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents WHERE lang IN ('en', 'fr')
+GROUP BY source ORDER BY source
+"""
+
+
 SOURCE_CAP_K = 20
 
 
@@ -5429,6 +5471,7 @@ def build_queries() -> dict:
         "rebalance_lang": q_rebalance_lang,
         "source_cap": q_source_cap,
         "winsorize": q_winsorize,
+        "partitioned_roundtrip": q_partitioned_roundtrip,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -5561,6 +5604,7 @@ def build_oracle_sql() -> dict:
         "rebalance_lang": SQL_REBALANCE_LANG,
         "source_cap": SQL_SOURCE_CAP,
         "winsorize": SQL_WINSORIZE,
+        "partitioned_roundtrip": SQL_PARTITIONED_ROUNDTRIP,
     }
 
 
