@@ -270,3 +270,22 @@ def test_grouped_prefix_sum_single_group_many_buckets():
     # one hot group split across 64 range buckets: prefix == order key
     np.testing.assert_array_equal(got["prefix"].to_numpy(),
                                   np.arange(n, dtype=np.int64))
+
+
+def test_read_parquet_sized_blocks_follow_disk_bytes(tmp_path):
+    import os
+
+    import pandas as pd
+
+    from pacasam_ray.io import READ_BLOCK_BYTES, read_parquet_sized
+
+    p = tmp_path / "t.parquet"
+    pd.DataFrame({"a": range(1000)}).to_parquet(p, index=False)
+    ds = read_parquet_sized(str(p)).materialize()
+    # tiny file -> the floor, never Ray's 2xCPU auto-split
+    expected = max(4, -(-os.path.getsize(p) // READ_BLOCK_BYTES))
+    assert ds.num_blocks() == expected == 4
+    assert ds.count() == 1000
+    # explicit override wins
+    ds2 = read_parquet_sized(str(p), override_num_blocks=2).materialize()
+    assert ds2.num_blocks() == 2
