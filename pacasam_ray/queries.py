@@ -4973,6 +4973,109 @@ WHERE ({hmix_sql('d.doc_id', REBAL_SALT)}) * c.n < (SELECT target FROM t) * {M31
 """
 
 
+LM_SCALE = 1_000_000
+
+
+def q_lm_score(sf_dir: str):
+    """Corpus-LM quality scoring (the pseudo-perplexity filter shape):
+    fit a bigram LM on the corpus itself — bigram and first-token counts,
+    both pre-combined per batch — then score every document by joining
+    its bigrams against the model tables and summing the integer
+    conditional-probability surrogate nb·10⁶ // nu (log-free: `ln` is not
+    bit-portable across libms, the rational surrogate ranks identically
+    for filtering). The model lookup is a HASH JOIN, not a broadcast —
+    at corpus scale the LM table is itself corpus-derived and big. The
+    exploded bigram table feeds three consumers, so it is checkpointed
+    once (spill-to-parquet past the size threshold)."""
+    from ray.data.aggregate import Sum
+
+    from .stages.partitioning import checkpoint, scrub_empty_blocks
+
+    def _bigrams(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if n < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string())})
+        lens = np.diff(offs)
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        keep = np.ones(n, dtype=bool)
+        nz = offs[1:] > offs[:-1]
+        keep[offs[1:][nz] - 1] = False
+        m = keep[:-1]
+        return pa.table({"doc_id": doc[:-1][m], "w1": flat[:-1][m],
+                         "w2": flat[1:][m]})
+
+    bg = checkpoint(
+        _docs(sf_dir).map_batches(_bigrams, batch_format="pyarrow"),
+        "lm_bigrams")
+
+    def _pair_counts(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"w1": t["w1"].to_numpy(zero_copy_only=False),
+                           "w2": t["w2"].to_numpy(zero_copy_only=False),
+                           "nb": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["w1", "w2"], sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    def _uni_counts(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"w1": t["w1"].to_numpy(zero_copy_only=False),
+                           "nu": 1})
+        return pa.Table.from_pandas(
+            df.groupby("w1", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    pre_b = bg.map_batches(_pair_counts, batch_format="pyarrow")
+    bc = scrub_empty_blocks(
+        pre_b.groupby(["w1", "w2"], num_partitions=pick_partitions(pre_b))
+             .aggregate(Sum("nb", alias_name="nb")))
+    pre_u = bg.map_batches(_uni_counts, batch_format="pyarrow")
+    uc = scrub_empty_blocks(
+        pre_u.groupby("w1", num_partitions=pick_partitions(pre_u))
+             .aggregate(Sum("nu", alias_name="nu")))
+
+    j = bg.join(bc, join_type="inner",
+                num_partitions=pick_partitions(bg, bc), on=("w1", "w2")) \
+          .join(uc, join_type="inner",
+                num_partitions=pick_partitions(bg, uc), on=("w1",))
+
+    def _doc_partial(t: pa.Table) -> pa.Table:
+        contrib = (t["nb"].to_numpy(zero_copy_only=False) * LM_SCALE
+                   // t["nu"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "lm_sum": contrib, "n_bigrams": 1})
+        return pa.Table.from_pandas(
+            df.groupby("doc_id", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    pre = j.map_batches(_doc_partial, batch_format="pyarrow")
+    return pre.groupby("doc_id", num_partitions=pick_partitions(pre)) \
+              .aggregate(Sum("lm_sum", alias_name="lm_sum"),
+                         Sum("n_bigrams", alias_name="n_bigrams"))
+
+
+SQL_LM_SCORE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+p AS (SELECT doc_id, l, unnest(range(1, array_length(l))) AS i FROM t),
+bg AS (SELECT doc_id, l[CAST(i AS INT)] AS w1, l[CAST(i AS INT)+1] AS w2
+       FROM p),
+bc AS (SELECT w1, w2, COUNT(*) AS nb FROM bg GROUP BY 1, 2),
+uc AS (SELECT w1, COUNT(*) AS nu FROM bg GROUP BY 1)
+SELECT bg.doc_id,
+       CAST(SUM(bc.nb * {LM_SCALE} // uc.nu) AS BIGINT) AS lm_sum,
+       COUNT(*) AS n_bigrams
+FROM bg JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+        JOIN uc ON bg.w1 = uc.w1
+GROUP BY bg.doc_id
+"""
+
+
 PR_OFF = 1_000_000   # supplier node-id offset into the shared node space
 PR_ITERS = 2
 PR_SCALE = 100_000   # initial score; damping in exact ints: 15000 + 85·x//100
@@ -5472,6 +5575,7 @@ def build_queries() -> dict:
         "source_cap": q_source_cap,
         "winsorize": q_winsorize,
         "partitioned_roundtrip": q_partitioned_roundtrip,
+        "lm_score": q_lm_score,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -5605,6 +5709,7 @@ def build_oracle_sql() -> dict:
         "source_cap": SQL_SOURCE_CAP,
         "winsorize": SQL_WINSORIZE,
         "partitioned_roundtrip": SQL_PARTITIONED_ROUNDTRIP,
+        "lm_score": SQL_LM_SCORE,
     }
 
 
