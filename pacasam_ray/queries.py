@@ -5014,6 +5014,15 @@ def q_lm_score(sf_dir: str):
     bg = checkpoint(
         _docs(sf_dir).map_batches(_bigrams, batch_format="pyarrow"),
         "lm_bigrams")
+    _lm_empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype=np.int64),
+        "lm_sum": pd.Series([], dtype=np.int64),
+        "n_bigrams": pd.Series([], dtype=np.int64)})
+    # all-single-token corpora have no bigrams: joining two fully-empty
+    # datasets crashes Ray's hash-shuffle aggregator, so exit on the
+    # (already-materialized) count instead
+    if bg.count() == 0:
+        return _lm_empty
 
     def _pair_counts(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({"w1": t["w1"].to_numpy(zero_copy_only=False),
@@ -5039,10 +5048,13 @@ def q_lm_score(sf_dir: str):
         pre_u.groupby("w1", num_partitions=pick_partitions(pre_u))
              .aggregate(Sum("nu", alias_name="nu")))
 
-    j = bg.join(bc, join_type="inner",
-                num_partitions=pick_partitions(bg, bc), on=("w1", "w2")) \
-          .join(uc, join_type="inner",
-                num_partitions=pick_partitions(bg, uc), on=("w1",))
+    # scrub between the joins too: a join whose reduce partitions come up
+    # empty emits schema-less zero-row blocks (tiny/adversarial inputs)
+    j = scrub_empty_blocks(
+        bg.join(bc, join_type="inner",
+                num_partitions=pick_partitions(bg, bc), on=("w1", "w2"))
+    ).join(uc, join_type="inner",
+           num_partitions=pick_partitions(bg, uc), on=("w1",))
 
     def _doc_partial(t: pa.Table) -> pa.Table:
         contrib = (t["nb"].to_numpy(zero_copy_only=False) * LM_SCALE
@@ -5054,10 +5066,13 @@ def q_lm_score(sf_dir: str):
             df.groupby("doc_id", sort=False, as_index=False).sum(),
             preserve_index=False)
 
+    from .stages.partitioning import schema_floor
+
     pre = j.map_batches(_doc_partial, batch_format="pyarrow")
-    return pre.groupby("doc_id", num_partitions=pick_partitions(pre)) \
-              .aggregate(Sum("lm_sum", alias_name="lm_sum"),
-                         Sum("n_bigrams", alias_name="n_bigrams"))
+    out = pre.groupby("doc_id", num_partitions=pick_partitions(pre)) \
+             .aggregate(Sum("lm_sum", alias_name="lm_sum"),
+                        Sum("n_bigrams", alias_name="n_bigrams"))
+    return schema_floor(out, _lm_empty)
 
 
 SQL_LM_SCORE = f"""
@@ -5220,6 +5235,10 @@ def q_bigram_counts(sf_dir: str):
                           ("w2", "ascending")]).slice(0, BIGRAM_K)
 
     parts = total.map_batches(_local_topk, batch_format="pyarrow").to_pandas()
+    if parts.empty:   # single-token docs only: zero bigrams is a valid result
+        return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                             "w2": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
     out = parts.sort_values(["n", "w1", "w2"],
                             ascending=[False, True, True],
                             kind="mergesort").head(BIGRAM_K)

@@ -35,7 +35,7 @@ EVENT_QUERIES = [
 DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
                "repetition_ratio", "tfidf_topk", "heavy_hitters",
                "doc_chunk", "pack_linear", "source_mix", "bigram_counts",
-               "token_count_regex"]
+               "token_count_regex", "lm_score"]
 
 
 def _assert_parity(name, sf_dir, con):
