@@ -4973,6 +4973,29 @@ WHERE ({hmix_sql('d.doc_id', REBAL_SALT)}) * c.n < (SELECT target FROM t) * {M31
 """
 
 
+def q_stream_dedup_count(sf_dir: str):
+    """Streaming (arrival-order) dedup through the sharded-actor hash
+    index (`stages/streamdedup.py`): the corpus drains batch-by-batch
+    with backpressure, each batch probes the distributed first-seen
+    index, survivors stream out. WHICH row survives is order-dependent
+    (first seen), but HOW MANY is exactly the distinct count — the
+    order-invariant surface this oracle checks, putting the stateful
+    actor path under the driver's gate."""
+    from .stages.streamdedup import dedup_stream_iter
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    n = 0
+    for t in dedup_stream_iter(ds, key_col="text", num_shards=4):
+        n += t.num_rows
+    return pd.DataFrame({"n_unique": pd.Series([n], dtype=np.int64)})
+
+
+SQL_STREAM_DEDUP_COUNT = (
+    "SELECT COUNT(DISTINCT text) AS n_unique FROM documents"
+)
+
+
 LM_SCALE = 1_000_000
 
 
@@ -5595,6 +5618,7 @@ def build_queries() -> dict:
         "winsorize": q_winsorize,
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "lm_score": q_lm_score,
+        "stream_dedup_count": q_stream_dedup_count,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -5729,6 +5753,7 @@ def build_oracle_sql() -> dict:
         "winsorize": SQL_WINSORIZE,
         "partitioned_roundtrip": SQL_PARTITIONED_ROUNDTRIP,
         "lm_score": SQL_LM_SCORE,
+        "stream_dedup_count": SQL_STREAM_DEDUP_COUNT,
     }
 
 
