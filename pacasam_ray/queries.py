@@ -4973,6 +4973,68 @@ WHERE ({hmix_sql('d.doc_id', REBAL_SALT)}) * c.n < (SELECT target FROM t) * {M31
 """
 
 
+CENTROID_Q = 100_000  # int64 quantization step for bit-exact vector sums
+
+
+def q_label_centroids(sf_dir: str):
+    """Grouped vector centroid (the class-prototype / cluster-center
+    aggregate): per label, the mean embedding. Per-batch combiner sums
+    the QUANTIZED int64 matrix per label with one np.add.at scatter —
+    the shuffle then moves one (label × dim) sum matrix per block, never
+    a vector per row — Sum-groupby merge, one IEEE division per cell.
+    The embeddings are int64-quantized exactly like the other vector ops
+    so the SQL twin is bit-exact."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["label", "embedding"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        dim = len(emb[0]) if len(emb) else 0
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+        x = flat.astype(np.float64) * CENTROID_Q
+        # DuckDB ROUND is half-AWAY-from-zero; np.rint is half-to-even —
+        # at this quantization step the halves actually occur
+        m = np.trunc(x + np.copysign(0.5, x)).astype(np.int64).reshape(-1, dim)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": np.repeat(uniq, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), len(uniq)),
+            "s": sums.ravel(),
+            "n": np.repeat(cnt, dim),
+        })
+
+    pre = ds.map_batches(_partial, batch_format="pyarrow")
+    agg = pre.groupby(["label", "dim"], num_partitions=pick_partitions(pre)) \
+             .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")) \
+             .to_pandas()
+    agg["centroid"] = agg["s"].astype(np.float64) / (
+        agg["n"].astype(np.float64) * float(CENTROID_Q))
+    agg = agg.sort_values(["label", "dim"], kind="mergesort")
+    return agg[["label", "dim", "centroid"]].reset_index(drop=True) \
+        .astype({"label": np.int64, "dim": np.int64})
+
+
+SQL_LABEL_CENTROIDS = f"""
+WITH q AS (
+  SELECT label, unnest(embedding) AS e,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, dim,
+       CAST(SUM(CAST(ROUND(CAST(e AS DOUBLE) * {CENTROID_Q}) AS BIGINT))
+            AS DOUBLE)
+       / (COUNT(*) * {CENTROID_Q}.0) AS centroid
+FROM q GROUP BY label, dim
+"""
+
+
 def q_stream_dedup_count(sf_dir: str):
     """Streaming (arrival-order) dedup through the sharded-actor hash
     index (`stages/streamdedup.py`): the corpus drains batch-by-batch
@@ -5619,6 +5681,7 @@ def build_queries() -> dict:
         "partitioned_roundtrip": q_partitioned_roundtrip,
         "lm_score": q_lm_score,
         "stream_dedup_count": q_stream_dedup_count,
+        "label_centroids": q_label_centroids,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -5754,6 +5817,7 @@ def build_oracle_sql() -> dict:
         "partitioned_roundtrip": SQL_PARTITIONED_ROUNDTRIP,
         "lm_score": SQL_LM_SCORE,
         "stream_dedup_count": SQL_STREAM_DEDUP_COUNT,
+        "label_centroids": SQL_LABEL_CENTROIDS,
     }
 
 
