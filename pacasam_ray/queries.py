@@ -16,6 +16,7 @@ from .io import read_parquet_sized
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray
 
 from .catalogue import catalogue_sql
@@ -4973,6 +4974,80 @@ WHERE ({hmix_sql('d.doc_id', REBAL_SALT)}) * c.n < (SELECT target FROM t) * {M31
 """
 
 
+KNN_EVAL_K = 5
+KNN_EVAL_QUERY_IDS = list(range(32))
+
+
+def q_knn_eval(sf_dir: str):
+    """Embedding-quality evaluation: leave-one-out kNN classification of a
+    query subset — top-(k+1) cosine neighbors via the bit-exact brute
+    path (`ann_topk`), drop self, majority label with a deterministic
+    tie-break (count desc, then smallest label). The neighbor set is
+    O(k·queries), so the label lookup and the vote run on tiny data; at
+    corpus scale the label attach is the same broadcast-small pattern."""
+    from .functions.similarity import ann_topk, load_query_matrix
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
+    qm = load_query_matrix(path, KNN_EVAL_QUERY_IDS)
+    out = ann_topk(ds, qm, KNN_EVAL_K + 1)
+
+    qvec = np.asarray(KNN_EVAL_QUERY_IDS, dtype=np.int64)
+    out = out[out["vec_id"].to_numpy() != qvec[out["query_id"].to_numpy()]]
+    out = out.sort_values(["query_id", "cos", "vec_id"],
+                          ascending=[True, False, True], kind="mergesort") \
+             .groupby("query_id", sort=False).head(KNN_EVAL_K)
+
+    lab = pq.read_table(path, columns=["vec_id", "label"])
+    lv = lab["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ll = lab["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(lv, kind="stable")
+    lv, ll = lv[order], ll[order]
+
+    out = out.assign(label=ll[np.searchsorted(lv, out["vec_id"].to_numpy())])
+    votes = out.groupby(["query_id", "label"], as_index=False).size() \
+               .rename(columns={"size": "cnt"})
+    votes = votes.sort_values(["query_id", "cnt", "label"],
+                              ascending=[True, False, True], kind="mergesort")
+    pred = votes.groupby("query_id", sort=False).head(1) \
+                .rename(columns={"label": "pred_label"})[["query_id", "pred_label"]]
+    pred = pred.sort_values("query_id", kind="mergesort").reset_index(drop=True)
+    true_lab = ll[np.searchsorted(lv, qvec[pred["query_id"].to_numpy()])]
+    pred["true_label"] = true_lab
+    pred["correct"] = (pred["pred_label"].to_numpy() == true_lab).astype(np.int64)
+    return pred.astype({"query_id": np.int64, "pred_label": np.int64,
+                        "true_label": np.int64})
+
+
+def _sql_knn_eval() -> str:
+    from .functions.similarity import ann_topk_sql
+
+    base = ann_topk_sql("embeddings", KNN_EVAL_QUERY_IDS, KNN_EVAL_K + 1)
+    order = ", ".join(f"({i}, {qi})"
+                      for qi, i in enumerate(KNN_EVAL_QUERY_IDS))
+    return f"""
+WITH base AS (SELECT * FROM ({base}) t),
+qm AS (SELECT CAST(qid AS BIGINT) AS qid, CAST(query_id AS BIGINT) AS query_id
+       FROM (VALUES {order}) v(qid, query_id)),
+r AS (SELECT b.query_id, b.vec_id, b.cos,
+        ROW_NUMBER() OVER (PARTITION BY b.query_id
+                           ORDER BY b.cos DESC, b.vec_id) AS rk
+      FROM base b JOIN qm ON b.query_id = qm.query_id
+      WHERE b.vec_id != qm.qid),
+kn AS (SELECT query_id, vec_id FROM r WHERE rk <= {KNN_EVAL_K}),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+votes AS (SELECT query_id, label, COUNT(*) AS cnt
+          FROM kn JOIN lab USING (vec_id) GROUP BY 1, 2),
+pred AS (SELECT query_id, label AS pred_label FROM votes
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cnt DESC, label) = 1)
+SELECT p.query_id, p.pred_label, l.label AS true_label,
+       CAST(p.pred_label = l.label AS BIGINT) AS correct
+FROM pred p JOIN qm ON p.query_id = qm.query_id
+JOIN lab l ON l.vec_id = qm.qid
+"""
+
+
 CENTROID_Q = 100_000  # int64 quantization step for bit-exact vector sums
 
 
@@ -5682,6 +5757,7 @@ def build_queries() -> dict:
         "lm_score": q_lm_score,
         "stream_dedup_count": q_stream_dedup_count,
         "label_centroids": q_label_centroids,
+        "knn_eval": q_knn_eval,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -5818,6 +5894,7 @@ def build_oracle_sql() -> dict:
         "lm_score": SQL_LM_SCORE,
         "stream_dedup_count": SQL_STREAM_DEDUP_COUNT,
         "label_centroids": SQL_LABEL_CENTROIDS,
+        "knn_eval": _sql_knn_eval(),
     }
 
 
