@@ -4974,6 +4974,60 @@ WHERE ({hmix_sql('d.doc_id', REBAL_SALT)}) * c.n < (SELECT target FROM t) * {M31
 """
 
 
+def q_revenue_share(sf_dir: str):
+    """Ratio-to-report: each customer segment's share of total revenue.
+    Two-level aggregate — per-segment exact cent sums (per-batch
+    combiner + tiny Sum groupby), total = driver sum of the segment
+    table (already small), share = one IEEE division per segment.
+    The window-function shape (SUM() OVER ()) without any second
+    shuffle: the 'report total' is a broadcast scalar by construction."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_sized(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+    cust = read_parquet_sized(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    # broadcast the small dimension: custkey -> segment via searchsorted
+    cdf = cust.to_pandas().sort_values("c_custkey", kind="mergesort")
+    ck = cdf["c_custkey"].to_numpy().astype(np.int64)
+    seg = cdf["c_mktsegment"].to_numpy()
+    seg_ref = ray.put((ck, seg))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        k, s = ray.get(seg_ref)
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pos = np.searchsorted(k, t["o_custkey"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"segment": s[pos], "rev_c": cents})
+        return pa.Table.from_pandas(
+            df.groupby("segment", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    pre = ds.map_batches(_partial, batch_format="pyarrow")
+    agg = pre.groupby("segment", num_partitions=pick_partitions(pre)) \
+             .aggregate(Sum("rev_c", alias_name="rev_c")).to_pandas()
+    total = int(agg["rev_c"].sum())
+    agg["share"] = agg["rev_c"].astype(np.float64) / float(total)
+    agg["revenue"] = agg["rev_c"].astype(np.float64) / 100.0
+    agg = agg.sort_values("segment", kind="mergesort").reset_index(drop=True)
+    return agg[["segment", "revenue", "share"]]
+
+
+SQL_REVENUE_SHARE = """
+WITH s AS (
+  SELECT c_mktsegment AS segment,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1)
+SELECT segment,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(rev_c AS DOUBLE)
+       / CAST((SELECT SUM(rev_c) FROM s) AS DOUBLE) AS share
+FROM s ORDER BY segment
+"""
+
+
 KNN_EVAL_K = 5
 KNN_EVAL_QUERY_IDS = list(range(32))
 
@@ -5758,6 +5812,7 @@ def build_queries() -> dict:
         "stream_dedup_count": q_stream_dedup_count,
         "label_centroids": q_label_centroids,
         "knn_eval": q_knn_eval,
+        "revenue_share": q_revenue_share,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -5895,6 +5950,7 @@ def build_oracle_sql() -> dict:
         "stream_dedup_count": SQL_STREAM_DEDUP_COUNT,
         "label_centroids": SQL_LABEL_CENTROIDS,
         "knn_eval": _sql_knn_eval(),
+        "revenue_share": SQL_REVENUE_SHARE,
     }
 
 
