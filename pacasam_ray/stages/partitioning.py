@@ -204,6 +204,26 @@ def schema_floor(ds, empty_df):
     return mat
 
 
+def typed_table(schema, **arrays):
+    """Build a pyarrow Table with an EXPLICIT schema from numpy arrays.
+
+    The empty-type-inference trap: a ``map_batches`` UDF that constructs
+    ``pa.table({"w": flat[:-1][mask]})`` from a masked numpy OBJECT array
+    infers ``string`` when the mask keeps rows but ``null`` when it keeps
+    none — so blocks disagree on schema, and Ray's hash-shuffle join hands
+    pyarrow a partition whose key column is ``null``-typed ("No match ...
+    for key field reference"). Any UDF whose output columns come from
+    masked/fancy-indexed numpy must construct through here so the zero-row
+    block carries the same schema as every other block.
+    """
+    import pyarrow as _pa
+
+    schema = _pa.schema(schema)
+    return _pa.table(
+        {f.name: _pa.array(arrays[f.name], type=f.type) for f in schema},
+        schema=schema)
+
+
 _FNV_PRIME = 1099511628211
 
 

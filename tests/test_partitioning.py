@@ -289,3 +289,29 @@ def test_read_parquet_sized_blocks_follow_disk_bytes(tmp_path):
     # explicit override wins
     ds2 = read_parquet_sized(str(p), override_num_blocks=2).materialize()
     assert ds2.num_blocks() == 2
+
+
+def test_broadcast_cap_join_paths_match_oracle(monkeypatch, duck):
+    """Force the over-cap (distributed hash-join) plan of the queries that
+    normally broadcast an sf-proportional dimension, and check the join
+    plan is value-identical to the DuckDB oracle."""
+    from pacasam_ray import queries as Q
+    from test_oracle_parity import canonicalize, to_pandas
+    from conftest import SF_DIR
+
+    monkeypatch.setattr(Q, "DIM_BROADCAST_CAP_BYTES", 0)
+    oracles = Q.build_oracle_sql()
+    for name, fn in (("revenue_share", Q.q_revenue_share),
+                     ("tpch_q5", Q.q_tpch_q5)):
+        ray_df = canonicalize(to_pandas(fn(SF_DIR)))
+        ora_df = canonicalize(duck.sql(oracles[name]).df())
+        assert len(ray_df) == len(ora_df), name
+        assert list(ray_df.columns) == list(ora_df.columns), name
+        for c in ray_df.columns:
+            a, b = ray_df[c], ora_df[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                pd.testing.assert_series_equal(
+                    a.astype("float64"), b.astype("float64"),
+                    check_names=False, rtol=0, atol=0, obj=f"{name}.{c}")
+            else:
+                assert list(a) == list(b), f"{name}.{c}"
