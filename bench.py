@@ -114,6 +114,28 @@ def run_bench() -> dict:
 BIG_N = int(os.environ.get("GRAFT_BIG_N", "2000000"))
 
 
+def _dedup_pipeline(src_dir: str):
+    """Exact content dedup in its scale-correct shape: md5 fingerprint per
+    batch (text projected away BEFORE any exchange), then the hash shuffle
+    + min-tiebreak representative join — ints move, never the payload."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from pacasam_ray.stages.dedup import dedup_exact_prehashed
+
+    ds = ray.data.read_parquet(src_dir, columns=["text", "doc_id"])
+
+    def _fp(t: pa.Table) -> pa.Table:
+        fps = pa.array([hashlib.md5(x.encode()).hexdigest()
+                        for x in t["text"].to_pylist()])
+        return pa.table({"doc_id": t["doc_id"], "content_key": fps})
+
+    fp = ds.map_batches(_fp, batch_format="pyarrow")
+    return dedup_exact_prehashed(fp, "content_key", "doc_id")
+
+
 def big_throughput() -> dict:
     """North-star throughput on REAL volume: the sf tables are ≤5000 rows
     (per-query fixed overhead dominates), so the headline docs/sec number is
@@ -156,23 +178,8 @@ def big_throughput() -> dict:
     # dedup in its scale-correct shape (md5 int64 fingerprint per batch,
     # THEN the hash shuffle + min-tiebreak representative join — ints move,
     # never the text payload)
-    import hashlib
-
-    import pyarrow as pa
-
-    from pacasam_ray.stages.dedup import dedup_exact_prehashed
-
     def dedup_pipeline():
-        ds = ray.data.read_parquet(big_dir, columns=["text", "doc_id"])
-
-        def _fp(t: pa.Table) -> pa.Table:
-            fps = pa.array([hashlib.md5(x.encode()).hexdigest()
-                            for x in t["text"].to_pylist()])
-            # project the text payload away BEFORE any shuffle
-            return pa.table({"doc_id": t["doc_id"], "content_key": fps})
-
-        fp = ds.map_batches(_fp, batch_format="pyarrow")
-        return dedup_exact_prehashed(fp, "content_key", "doc_id")
+        return _dedup_pipeline(big_dir)
 
     dedup_pipeline().count()  # warm (untimed)
     t1 = time.perf_counter()
@@ -254,9 +261,19 @@ def run_scaling_child(ncpu: int) -> dict:
     t0 = time.perf_counter()
     n = pipeline().count()
     sec = time.perf_counter() - t0
+
+    # shuffle leg: the ≥0.8 claim must also cover the all-to-all exchange
+    # path, not just the map-heavy catalogue build — time the exact-dedup
+    # hash shuffle on the same input
+    _dedup_pipeline(SCALING_DIR).count()  # warm (untimed)
+    t1 = time.perf_counter()
+    _dedup_pipeline(SCALING_DIR).count()
+    dsec = time.perf_counter() - t1
     ray.shutdown()
     return {"num_cpus": ncpu, "sec": round(sec, 3), "n_docs": n,
-            "docs_per_sec": round(n / sec, 1)}
+            "docs_per_sec": round(n / sec, 1),
+            "dedup_sec": round(dsec, 3),
+            "dedup_docs_per_sec": round(n / dsec, 1)}
 
 
 def run_scaling() -> dict:
@@ -269,10 +286,11 @@ def run_scaling() -> dict:
         )
 
     def run_at(ncpu: int) -> dict:
-        # best-of-REPS: the sandbox host has noisy neighbors and the
-        # wide-parallelism leg is disproportionately hit (measured 15.1 s vs
-        # 24.4 s for identical back-to-back 16-cpu runs); min wall time is
-        # the least-polluted estimate of engine capability.
+        # best-of-REPS per leg independently: the sandbox host has noisy
+        # neighbors and the wide-parallelism leg is disproportionately hit
+        # (measured 15.1 s vs 24.4 s for identical back-to-back 16-cpu
+        # runs); min wall time is the least-polluted estimate of engine
+        # capability.
         best = None
         for _ in range(SCALING_REPS):
             proc = subprocess.run(
@@ -280,8 +298,13 @@ def run_scaling() -> dict:
                 capture_output=True, text=True, check=True,
             )
             r = json.loads(proc.stdout.strip().splitlines()[-1])
-            if best is None or r["sec"] < best["sec"]:
+            if best is None:
                 best = r
+            else:
+                for k in ("sec", "dedup_sec"):
+                    best[k] = min(best[k], r[k])
+                for k in ("docs_per_sec", "dedup_docs_per_sec"):
+                    best[k] = max(best[k], r[k])
         return best
 
     # N and 4N parallelism in fresh processes. Default 4→16: on ONE node the
@@ -292,17 +315,27 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", str(4 * int(os.environ.get("GRAFT_SCALE_LO", "4")))))
     r_lo, r_hi = run_at(lo), run_at(hi)
-    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    eff_map = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    eff_shuffle = (r_hi["dedup_docs_per_sec"]
+                   / r_lo["dedup_docs_per_sec"]) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        # headline value = the WEAKER of the two legs, so the ≥0.8 claim
+        # covers both the map path and the all-to-all shuffle path
+        "value": round(min(eff_map, eff_shuffle), 3),
         "unit": "ratio",
-        "workload": "read(pruned) -> tile-assign + descriptors + quality -> broadcast PiP spatial join",
+        "workload": "map leg: read(pruned) -> tile-assign + descriptors + quality -> broadcast PiP spatial join; shuffle leg: md5 fingerprint -> hash-shuffle exact dedup",
+        "efficiency_map_leg": round(eff_map, 3),
+        "efficiency_shuffle_leg": round(eff_shuffle, 3),
         "n_docs": r_lo["n_docs"],
         f"sec_{lo}": r_lo["sec"],
         f"sec_{hi}": r_hi["sec"],
         f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        f"dedup_sec_{lo}": r_lo["dedup_sec"],
+        f"dedup_sec_{hi}": r_hi["dedup_sec"],
+        f"dedup_docs_per_sec_{lo}": r_lo["dedup_docs_per_sec"],
+        f"dedup_docs_per_sec_{hi}": r_hi["dedup_docs_per_sec"],
     }
 
 

@@ -24,6 +24,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+try:  # real codec when the environment ships one (not in this container)
+    from PIL import Image as _PIL_Image
+except ImportError:  # pragma: no cover - sandbox default
+    _PIL_Image = None
+
 KINDS = ["image", "audio", "video"]
 FRAME_BYTES = 32  # fake video: one "frame" per 32 payload bytes
 SAMPLE_RATE = 16_000
@@ -102,8 +107,10 @@ class ImageDecoder:
     """Actor-pool decode + feature-extract stage (T1/E3 analog: heavy state
     — a real codec context — built once per actor in ``__init__``).
 
-    ``fake=False`` is the production signature and raises
-    NotImplementedError (no image libs in this container); ``fake=True``
+    ``fake=False`` is the production signature: it decodes through PIL
+    (probed at import) when the environment ships it, grayscale-converting
+    to the same (h, w) uint8 layout; in this container PIL is absent and
+    the call raises NotImplementedError. ``fake=True`` (sandbox default)
     decodes payload bytes into a deterministic (h, 16) uint8 pixel grid and
     emits real vectorized features + a resized thumbnail, exercising the
     full Ray plumbing.
@@ -115,9 +122,14 @@ class ImageDecoder:
 
     def decode(self, payload: bytes) -> np.ndarray:
         if not self.fake:
-            raise NotImplementedError(
-                "real image decode requires PIL/opencv (not in this container)"
-            )
+            if _PIL_Image is None:
+                raise NotImplementedError(
+                    "real image decode requires PIL (not in this container)"
+                )
+            import io  # pragma: no cover - exercised only where PIL exists
+
+            with _PIL_Image.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("L"), dtype=np.uint8)
         px = np.frombuffer(payload, dtype=np.uint8)
         h = (len(px) + 15) // 16
         grid = np.zeros(h * 16, dtype=np.uint8)

@@ -165,19 +165,44 @@ def run_extraction(sampling_ds, dataset_root: str | Path, num_shards: int = 16,
 
     root_str = str(root)
 
+    def _extract(batch: pa.Table) -> pa.Table:
+        """E2 BEFORE the shuffle: the extraction map is row-wise and
+        deterministic per url, so it runs in the embarrassingly-parallel
+        read stage and the raw ``html`` payload NEVER crosses the
+        (split, shard) exchange — only the (much smaller) extracted text
+        does (SURVEY §7.4(7): keep payload columns out of shuffles).
+        ``__src_bytes`` carries the dropped payload size so the manifest
+        can report the measured shuffle-bytes saving."""
+        html = batch["html"]
+        if isinstance(html, pa.ChunkedArray):
+            html = html.combine_chunks()
+        text = pc.cast(extract_text_from_html(html), pa.string())
+        src_bytes = pc.cast(pc.binary_length(html), pa.int64())
+        cols = {
+            "url": batch["url"],
+            "patch_id": batch["patch_id"] if "patch_id" in batch.column_names
+            else pa.array([0] * batch.num_rows, type=pa.int64()),
+            "split": batch["split"],
+            "text": text,
+            "__shard": batch["__shard"],
+            "__src_bytes": src_bytes,
+        }
+        return pa.table(cols)
+
+    extracted = sharded.map_batches(_extract, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
     def _write_partition(group: pd.DataFrame) -> pd.DataFrame:
-        """E2 + E6 per (split, shard): extract payload bytes, atomic publish,
-        manifest-last. Runs on workers; one group = one output partition."""
+        """E6 per (split, shard): atomic publish, manifest-last. Runs on
+        workers; one group = one output partition."""
         t_start = time.time()
         split = group["split"].iloc[0]
         shard = int(group["__shard"].iloc[0])
         group = group.sort_values("url", kind="mergesort")
-        html = pa.array(group["html"].tolist(), type=pa.binary())
-        text = pc.cast(extract_text_from_html(html), pa.string())
+        text = pa.array(group["text"].tolist(), type=pa.string())
         out = pa.table({
             "url": pa.array(group["url"].tolist(), type=pa.string()),
-            "patch_id": pa.array(group["patch_id"].tolist(), type=pa.int64())
-            if "patch_id" in group else pa.array([0] * len(group), type=pa.int64()),
+            "patch_id": pa.array(group["patch_id"].tolist(), type=pa.int64()),
             "split": pa.array(group["split"].tolist(), type=pa.string()),
             "text": text,
         })
@@ -187,6 +212,7 @@ def run_extraction(sampling_ds, dataset_root: str | Path, num_shards: int = 16,
         tmp = final.with_suffix(".parquet.tmp")
         pq.write_table(out, tmp)
         os.replace(tmp, final)  # atomic publish (reference: tmpfile→copy)
+        shuffled_payload = int(group["text"].str.len().sum())
         manifest = {
             "split": str(split),
             "shard": shard,
@@ -199,6 +225,10 @@ def run_extraction(sampling_ds, dataset_root: str | Path, num_shards: int = 16,
             # lineage + throughput metrics for resumability)
             "elapsed_s": round(time.time() - t_start, 4),
             "rows_per_sec": round(len(group) / max(time.time() - t_start, 1e-9), 1),
+            # measured exchange saving: raw payload bytes that stayed in the
+            # map stage vs extracted bytes that crossed the shuffle
+            "source_payload_bytes": int(group["__src_bytes"].sum()),
+            "shuffled_payload_bytes": shuffled_payload,
         }
         mfinal = Path(root_str) / "_manifest" / f"{split}-{shard:05d}.json"
         mtmp = mfinal.with_suffix(".json.tmp")
@@ -209,8 +239,8 @@ def run_extraction(sampling_ds, dataset_root: str | Path, num_shards: int = 16,
         )
 
     written = (
-        sharded.groupby(["split", "__shard"],
-                        num_partitions=pick_group_partitions(sharded))
+        extracted.groupby(["split", "__shard"],
+                          num_partitions=pick_group_partitions(extracted))
         .map_groups(_write_partition, batch_format="pandas")
         .to_pandas()
     )

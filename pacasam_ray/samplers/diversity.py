@@ -105,7 +105,7 @@ class DiversitySampler(Sampler):
             sel = g.loc[idx, PATCH_INFO].reset_index(drop=True)
             sel["sampler"] = name
             sel = _val_split(sel, cf)
-            self.log.info(f"{self.name}: N={len(sel)}/{num_to_sample} patches.")
+            self.log.info(f"{self.name} kept {len(sel)} rows of the {num_to_sample} requested")
             return sel[schema + [FILE_ID_COLNAME]]
 
         ds = assign_positions(ds, counts=counts)
@@ -140,7 +140,7 @@ class DiversitySampler(Sampler):
             .drop(columns=["__chunk", "__order"])
             .reset_index(drop=True)
         )
-        self.log.info(f"{self.name}: N={min(num_to_sample, len(selected))}/{num_to_sample} patches.")
+        self.log.info(f"{self.name} kept {min(num_to_sample, len(selected))} rows of the {num_to_sample} requested")
         return selected
 
 

@@ -152,6 +152,26 @@ def _score_fn(model_ref, cols):
     return _score
 
 
+def _glosh_score_fn(model_ref, cols):
+    """Stateless GLOSH scoring stage: the broadcast model carries the fit
+    matrix + condensed-tree calibration; every row is labeled/scored via
+    the nearest-fit-member approximation (samplers/glosh.py)."""
+
+    def _score(batch: pa.Table) -> pa.Table:
+        from .glosh import glosh_score
+
+        model = ray.get(model_ref)
+        arr = np.column_stack(
+            [batch[c].to_numpy(zero_copy_only=False) for c in cols]
+        ).astype(np.float64)
+        lab, score = glosh_score(model, arr)
+        batch = batch.append_column("cluster_id", pa.array(lab.astype(np.int64)))
+        batch = batch.append_column("outlier_scores", pa.array(score))
+        return batch
+
+    return _score
+
+
 class OutliersSampler(Sampler):
     def get_patches(self, catalogue, num_to_sample=None, **kw) -> pd.DataFrame:
         if num_to_sample is None:
@@ -162,6 +182,10 @@ class OutliersSampler(Sampler):
         fit_sample_size = int(ocf.get("fit_sample_size", 100_000))
         knn_k = int(ocf.get("knn_k", 8))
         density_ref_size = int(ocf.get("density_ref_size", 512))
+        # "glosh" = HDBSCAN condensed-tree scorer (real lib when importable,
+        # pure-numpy twin otherwise — samplers/glosh.py); default stays the
+        # calibration-free k-means + kNN-density substitute
+        scorer = str(ocf.get("scorer", "knn_density"))
 
         # The normalized projection feeds two scans (fit-sample + scoring);
         # both stream — no mid-pipeline materialization of the full dataset.
@@ -181,15 +205,24 @@ class OutliersSampler(Sampler):
         sample = smallest_n(
             ranked, fit_sample_size, col="__r", tiebreak=PATCH_ID_COLNAME
         ).to_pandas()
-        model = fit_outlier_model(
-            sample[cols].to_numpy(), n_clusters,
-            knn_k=knn_k, ref_size=density_ref_size,
-        )
-        model_ref = ray.put(model)
+        if scorer == "glosh":
+            from .glosh import glosh_fit
+
+            model = glosh_fit(sample[cols].to_numpy(),
+                              min_cluster_size=max(2, n_clusters))
+            model_ref = ray.put(model)
+            score_fn = _glosh_score_fn(model_ref, cols)
+        else:
+            model = fit_outlier_model(
+                sample[cols].to_numpy(), n_clusters,
+                knn_k=knn_k, ref_size=density_ref_size,
+            )
+            model_ref = ray.put(model)
+            score_fn = _score_fn(model_ref, cols)
 
         # 2. distributed scoring
         scored = ds.map_batches(
-            _score_fn(model_ref, cols), batch_format="pyarrow", zero_copy_batch=True
+            score_fn, batch_format="pyarrow", zero_copy_batch=True
         )
 
         # 3. top-k by outlier score (desc) = smallest-k by negated score —
@@ -215,5 +248,5 @@ class OutliersSampler(Sampler):
         self._set_validation_patches_with_stratification(
             patches, keys=["cluster_id", FILE_ID_COLNAME]
         )
-        self.log.info(f"{self.name}: N={min(num_to_sample, len(patches))}/{num_to_sample} patches.")
+        self.log.info(f"{self.name} kept {min(num_to_sample, len(patches))} rows of the {num_to_sample} requested")
         return patches[self.sampling_schema + [FILE_ID_COLNAME]]

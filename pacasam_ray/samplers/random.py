@@ -24,7 +24,7 @@ class RandomSampler(Sampler):
         if len(list(current_selection_ids)):
             ds = exclude_ids(ds, current_selection_ids, columns=PATCH_INFO)
         patches = sample_randomly(ds, num_to_sample, SALT_RANDOM, columns=PATCH_INFO)
-        self.log.info(f"{self.name}: N={min(num_to_sample, len(patches))}/{num_to_sample} patches.")
+        self.log.info(f"{self.name} kept {min(num_to_sample, len(patches))} rows of the {num_to_sample} requested")
         patches = patches.copy()
         patches["sampler"] = self.name
         self._set_validation_patches_with_stratification(patches, keys=[FILE_ID_COLNAME])

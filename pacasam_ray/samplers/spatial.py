@@ -27,7 +27,7 @@ class SpatialSampler(Sampler):
         patches = sample_with_stratification(
             ds, num_to_sample, SALT_SPATIAL, strata=FILE_ID_COLNAME, columns=PATCH_INFO
         )
-        self.log.info(f"{self.name}: N={min(num_to_sample, len(patches))}/{num_to_sample} patches.")
+        self.log.info(f"{self.name} kept {min(num_to_sample, len(patches))} rows of the {num_to_sample} requested")
         patches = patches.copy()
         patches["sampler"] = self.name
         self._set_validation_patches_with_stratification(patches, keys=[FILE_ID_COLNAME])

@@ -241,3 +241,50 @@ def test_copy_sampler_dataset_native_equivalence(tmp_path):
     # run_sampling routes CopySampler through the native path and can sink
     out = run_sampling(sf, "CopySampler", output_path=str(tmp_path / "copy_out"))
     assert out.count() == len(native)
+
+
+def test_glosh_scorer_recalls_planted_outliers():
+    """Same planted-outlier recall contract under the condensed-tree GLOSH
+    scorer (pure-numpy HDBSCAN twin): two blobs found as clusters, every
+    planted outlier ranked above every blob member, desert points ≈ 1."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from pacasam_ray.samplers.glosh import glosh_fit
+    from pacasam_ray.samplers.outliers import _glosh_score_fn
+
+    rng = np.random.default_rng(7)
+    blob_a = rng.normal(loc=(0.0, 0.0), scale=0.05, size=(400, 2))
+    blob_b = rng.normal(loc=(4.0, 0.0), scale=0.05, size=(400, 2))
+    outliers = np.array(
+        [[2.0, 0.0], [2.0, 2.0], [-2.0, -2.0], [6.0, 2.0], [0.0, 3.0],
+         [4.0, -3.0], [-1.5, 1.5], [5.5, -2.0], [2.0, -2.5], [1.0, 2.5]]
+    )
+    arr = np.vstack([blob_a, blob_b, outliers])
+    model = glosh_fit(arr, min_cluster_size=16)
+    assert set(model.labels[:400].tolist()) != set(model.labels[400:800].tolist())
+    scored = _glosh_score_fn(ray.put(model), ["f0", "f1"])(
+        pa.table({"f0": arr[:, 0], "f1": arr[:, 1]})
+    )
+    score = scored["outlier_scores"].to_numpy()
+    assert score[800:].min() > score[:800].max()
+    assert score[800] > 0.9
+
+
+def test_outliers_sampler_glosh_scorer_end_to_end(catalogue):
+    """OutliersSampler with scorer=glosh: same selection contract (schema,
+    exact target count, val split) as the default density scorer."""
+    import copy
+
+    from pacasam_ray.pipelines.sampling import DEFAULT_CONFIG
+    from pacasam_ray.samplers.outliers import OutliersSampler
+
+    cf = copy.deepcopy(dict(DEFAULT_CONFIG))
+    cf["OutliersSampler"]["scorer"] = "glosh"
+    sampler = OutliersSampler(sampling_config=cf)
+    sel = sampler.get_patches(catalogue)
+    assert list(sel.columns[:3]) == ["patch_id", "split", "sampler"]
+    assert sel["sampler"].eq("OutliersSampler").all()
+    assert sel["split"].isin(["train", "val", "test"]).all()
+    assert len(sel) == cf["target_total_num_patches"]
