@@ -36,6 +36,11 @@ from ..stages.partitioning import pick_group_partitions, pick_partitions
 MD5_HEX = 15  # 60-bit hashes: fit signed int64 in both numpy and DuckDB
 P31 = 2_147_483_647  # Mersenne prime 2^31-1 for minhash permutations
 
+# LSH collision buckets are pulled to the driver for the broadcast
+# prefilter only below this row count (~80 MB of (band,bucket) int64 keys);
+# above it the prefilter becomes a distributed semi-join.
+HOT_BUCKET_BROADCAST_CAP = 5_000_000
+
 
 def md5_int(s: str, nhex: int = MD5_HEX) -> int:
     """Portable 4·nhex-bit integer hash (DuckDB twin: CAST('0x'||substr(md5(s),1,nhex) AS BIGINT))."""
@@ -344,25 +349,35 @@ def minhash_lsh_pairs(ds, num_perm: int = 128, bands: int = 32, n: int = 3,
     counts = sigs.select_columns(["band", "bucket"]) \
         .groupby(["band", "bucket"], num_partitions=pick_partitions(sigs)) \
         .aggregate(Count(alias_name="c"))
-    hot = counts.filter(expr="c >= 2").select_columns(["band", "bucket"]).to_pandas()
-    if not len(hot):
+    hot_ds = counts.filter(expr="c >= 2").select_columns(["band", "bucket"])
+    n_hot = hot_ds.count()
+    if not n_hot:
         return _ray.data.from_pandas(pd.DataFrame({
             "doc_a": pd.Series([], dtype=np.int64),
             "doc_b": pd.Series([], dtype=np.int64),
             "est_jaccard": pd.Series([], dtype=np.float64),
         }))
-    with np.errstate(over="ignore"):
-        hot_keys = (hot["bucket"].to_numpy(np.int64) * np.int64(37)
-                    + hot["band"].to_numpy(np.int64))
-    keys_ref = _ray.put(pa.array(hot_keys))
-
-    def _keep_collisions(t: pa.Table) -> pa.Table:
+    if n_hot <= HOT_BUCKET_BROADCAST_CAP:
+        hot = hot_ds.to_pandas()
         with np.errstate(over="ignore"):
-            k = (t["bucket"].to_numpy(zero_copy_only=False) * np.int64(37)
-                 + t["band"].to_numpy(zero_copy_only=False))
-        return t.filter(pc.is_in(pa.array(k), value_set=_ray.get(keys_ref)))
+            hot_keys = (hot["bucket"].to_numpy(np.int64) * np.int64(37)
+                        + hot["band"].to_numpy(np.int64))
+        keys_ref = _ray.put(pa.array(hot_keys))
 
-    cand = sigs.map_batches(_keep_collisions, batch_format="pyarrow")
+        def _keep_collisions(t: pa.Table) -> pa.Table:
+            with np.errstate(over="ignore"):
+                k = (t["bucket"].to_numpy(zero_copy_only=False) * np.int64(37)
+                     + t["band"].to_numpy(zero_copy_only=False))
+            return t.filter(pc.is_in(pa.array(k), value_set=_ray.get(keys_ref)))
+
+        cand = sigs.map_batches(_keep_collisions, batch_format="pyarrow")
+    else:
+        # collision set past the broadcast cap: the corpus is dup-heavy, so
+        # most sig rows are in collision buckets anyway and the prefilter
+        # would save little — skip it (a semi-join is not an option: acero
+        # cannot carry the large_list sig payload through a join). The pair
+        # stage ignores singleton buckets by construction.
+        cand = sigs
 
     def _bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
         """One callback per hash-bucket PARTITION of (band, bucket) keys —

@@ -5205,6 +5205,111 @@ JOIN lab l ON l.vec_id = qm.qid
 """
 
 
+# SemDeDup similarity threshold. The synthetic embeddings carry no planted
+# near-dups (max within-cluster cosine ≈ 0.51), so the threshold sits below
+# that tail to exercise the pruning path end-to-end; a production corpus
+# would run the paper's ~0.95.
+SEMDEDUP_TAU = 0.3
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of an
+    embedding corpus INSIDE k-means buckets — the trick that bounds the
+    quadratic: pairwise cosine runs only within a cluster, never across the
+    corpus. Plan: (1) every vector is assigned to its best centroid via one
+    exact-int matmul against the broadcast centroid matrix (the
+    `kmeans_assign` kernel); (2) clusters co-locate through ONE hash
+    shuffle (`grouped_batch_map` — partition-level callbacks, not
+    per-group); (3) within each cluster, one m×m int64 gram matrix and a
+    triangular mask drop every vector that has a LOWER-vec_id neighbor
+    above SEMDEDUP_TAU (deterministic representative = smallest id, same
+    rule as the text dedup family). Only (vec_id, centroid, embedding)
+    rows cross the shuffle; cluster sizes bound both the shuffle skew and
+    the m² work — the paper's own scaling argument."""
+    from .functions.similarity import cosine_from_ints, load_query_matrix, quantize
+    from .stages.partitioning import grouped_batch_map
+
+    path = f"{sf_dir}/embeddings.parquet"
+    cm = load_query_matrix(path, KMEANS_CENTROID_IDS)
+    cnorms = (cm * cm).sum(axis=1)
+    cm_ref = ray.put((cm, cnorms))
+
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
+
+    def _assign(t: pa.Table) -> pa.Table:
+        cmat, cn = ray.get(cm_ref)
+        mat = quantize(np.stack(t["embedding"].combine_chunks()
+                                .to_numpy(zero_copy_only=False)))
+        dots = mat @ cmat.T
+        norms = (mat * mat).sum(axis=1)
+        cos = cosine_from_ints(dots, norms[:, None], cn[None, :])
+        best = np.argmax(cos, axis=1)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "centroid_id": pa.array(best.astype(np.int64)),
+            "embedding": t["embedding"],
+        })
+
+    assigned = ds.map_batches(_assign, batch_format="pyarrow")
+
+    def _prune(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        # loop is per CLUSTER (the m×m kernel inside dominates), not per row
+        for cid, g in df.groupby("centroid_id", sort=False):
+            ids = g["vec_id"].to_numpy().astype(np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            mat = quantize(np.stack(g["embedding"].to_numpy()[order]))
+            dots = mat @ mat.T
+            norms = (mat * mat).sum(axis=1)
+            cos = cosine_from_ints(dots, norms[:, None], norms[None, :])
+            # drop j when some i < j (id order) exceeds tau — smallest-id
+            # representative survives; chains drop every later member
+            dup = np.triu(cos > SEMDEDUP_TAU, 1).any(axis=0)
+            out.append(pd.DataFrame({
+                "vec_id": ids[~dup],
+                "centroid_id": np.full(int((~dup).sum()), cid, np.int64)}))
+        if not out:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "centroid_id": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    return grouped_batch_map(assigned, ["centroid_id"], _prune)
+
+
+def _sql_semdedup() -> str:
+    from .functions.similarity import quantize_sql
+
+    qe = quantize_sql("embedding")
+    order = ", ".join(f"({i}, {ci})" for ci, i in enumerate(KMEANS_CENTROID_IDS))
+    return f"""
+WITH z AS (SELECT vec_id, {qe} AS e FROM embeddings),
+nz AS (SELECT vec_id, e,
+       (SELECT SUM(e[i] * e[i]) FROM generate_series(1, {EMB_DIM}) t(i)) AS nn FROM z),
+cmap AS (SELECT CAST(qid AS BIGINT) AS qid, CAST(cid AS BIGINT) AS centroid_id
+         FROM (VALUES {order}) v(qid, cid)),
+c AS (SELECT centroid_id, e AS ce, nn AS cn FROM nz JOIN cmap ON vec_id = qid),
+d AS (SELECT nz.vec_id, c.centroid_id,
+        CAST((SELECT SUM(ce[i] * nz.e[i]) FROM generate_series(1, {EMB_DIM}) t(i))
+             AS DOUBLE)
+        / (SQRT(CAST(nz.nn AS DOUBLE)) * SQRT(CAST(c.cn AS DOUBLE))) AS cos
+      FROM nz, c),
+a AS (SELECT vec_id, centroid_id FROM d
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, centroid_id) = 1),
+m AS (SELECT a.vec_id, a.centroid_id, nz.e, nz.nn FROM a JOIN nz USING (vec_id)),
+drops AS (
+  SELECT DISTINCT v.vec_id
+  FROM m u JOIN m v
+    ON u.centroid_id = v.centroid_id AND u.vec_id < v.vec_id
+  WHERE CAST((SELECT SUM(u.e[i] * v.e[i])
+              FROM generate_series(1, {EMB_DIM}) t(i)) AS DOUBLE)
+        / (SQRT(CAST(u.nn AS DOUBLE)) * SQRT(CAST(v.nn AS DOUBLE)))
+        > {SEMDEDUP_TAU!r})
+SELECT vec_id, centroid_id FROM a ANTI JOIN drops USING (vec_id)
+"""
+
+
 CENTROID_Q = 100_000  # int64 quantization step for bit-exact vector sums
 
 
@@ -5930,6 +6035,7 @@ def build_queries() -> dict:
         "label_centroids": q_label_centroids,
         "knn_eval": q_knn_eval,
         "revenue_share": q_revenue_share,
+        "semdedup": q_semdedup,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -5953,7 +6059,7 @@ _DRIVER_GATE_PRIORITY = [
     "sampler_TargettedSampler", "sampler_DiversitySampler",
     "sampler_OutliersSampler", "sampler_TripleSampler", "sampler_CopySampler",
     "lm_score", "knn_eval", "revenue_share", "stream_dedup_count",
-    "label_centroids", "pagerank", "partitioned_roundtrip", "pack_linear",
+    "label_centroids", "semdedup", "pagerank", "partitioned_roundtrip", "pack_linear",
     "doc_chunk", "source_mix", "rebalance_lang", "bigram_counts",
     "token_count_regex", "heavy_hitters", "tpch_q12", "cumulative_users",
     "winsorize", "source_cap", "weighted_avg", "dow_activity",
@@ -5962,7 +6068,7 @@ _DRIVER_GATE_PRIORITY = [
     "rolling_window", "ntile", "percent_rank", "grouped_quantiles",
     "grouped_median", "grouped_topk", "median_price",
     "minhash_dedup", "minhash_lsh", "contamination", "contamination_join",
-    "substring_dedup", "edit_neardup", "tfidf_topk",
+    "substring_dedup", "edit_neardup",
 ]
 
 
@@ -6096,6 +6202,7 @@ def build_oracle_sql() -> dict:
         "stream_dedup_count": SQL_STREAM_DEDUP_COUNT,
         "label_centroids": SQL_LABEL_CENTROIDS,
         "knn_eval": _sql_knn_eval(),
+        "semdedup": _sql_semdedup(),
         "revenue_share": SQL_REVENUE_SHARE,
     }
 

@@ -44,6 +44,19 @@ def test_minhash_lsh_recall_vs_exact():
             assert abs(est[key] - r["jaccard"]) < 0.25
 
 
+def test_minhash_semijoin_prefilter_matches_broadcast(monkeypatch):
+    """Forcing the over-cap (distributed semi-join) collision prefilter
+    must yield the identical pair set as the broadcast path."""
+    from pacasam_ray.functions import dedup as D
+
+    a = D.minhash_lsh_pairs(docs_ds(), tau=0.5).to_pandas()
+    monkeypatch.setattr(D, "HOT_BUCKET_BROADCAST_CAP", 0)
+    b = D.minhash_lsh_pairs(docs_ds(), tau=0.5).to_pandas()
+    ka = sorted(zip(a["doc_a"].astype(int), a["doc_b"].astype(int)))
+    kb = sorted(zip(b["doc_a"].astype(int), b["doc_b"].astype(int)))
+    assert ka == kb
+
+
 def test_minhash_partition_invariance():
     from pacasam_ray.functions.dedup import minhash_lsh_pairs
 

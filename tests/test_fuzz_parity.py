@@ -112,3 +112,42 @@ def test_fuzz_doc_dedup(texts, ray_session, tmp_path_factory):
     for name in DOC_QUERIES:
         _assert_parity(name, str(d), con)
     con.close()
+
+
+EMB_QUERIES = ["kmeans_assign", "semdedup", "label_centroids"]
+
+# pool of 6 distinct 64-dim vectors with float32-exact quarter components;
+# repeated picks plant EXACT duplicate vectors (cos == 1.0) and near-ties
+_EMB_DIM = 64
+_POOL = np.array(
+    [[((j * 31 + k * 17) % 7 - 3) / 4.0 for k in range(_EMB_DIM)]
+     for j in range(6)], dtype=np.float32)
+
+emb_picks = st.lists(st.integers(0, 5), min_size=4, max_size=12)
+
+
+@settings(max_examples=max(3, FUZZ_EXAMPLES * 3 // 4), deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(picks=emb_picks)
+def test_fuzz_embedding_ops(picks, ray_session, tmp_path_factory):
+    """Vector-op parity under duplicate vectors and tied cosines: the
+    centroid argmax, the SemDeDup prune rule, and the centroid aggregate
+    must tie-break identically in Ray and DuckDB."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("fuzz_emb")
+    emb = _POOL[np.asarray(picks)]
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(picks), dtype=np.int64)),
+        "embedding": pa.array([row for row in emb],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(np.asarray(picks, dtype=np.int32) % 2,
+                          type=pa.int32()),
+    })
+    pq.write_table(tbl, d / "embeddings.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    for name in EMB_QUERIES:
+        _assert_parity(name, str(d), con)
+    con.close()
