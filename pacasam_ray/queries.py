@@ -674,11 +674,14 @@ def q_tpch_q3(sf_dir: str):
         lambda t: t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff))),
         batch_format="pyarrow",
     )
-    j = orders.join(cust, join_type="inner",
-                    num_partitions=pick_partitions(orders, cust),
-                    on=("o_custkey",), right_on=("c_custkey",))
-    j = li.join(j, join_type="inner", num_partitions=pick_partitions(li, j),
-                on=("l_orderkey",), right_on=("o_orderkey",))
+    from .stages.joins import safe_join
+
+    # safe_join: all three inputs are filter-derived and can be empty or
+    # carry an empty first block — either crashes the native hash join
+    j = safe_join(orders, cust, join_type="inner",
+                  on=("o_custkey",), right_on=("c_custkey",))
+    j = safe_join(li, j, join_type="inner",
+                  on=("l_orderkey",), right_on=("o_orderkey",))
 
     def _partial(t: pa.Table) -> pa.Table:
         price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
@@ -692,6 +695,13 @@ def q_tpch_q3(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = j.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        # Ray 2.49 to_pandas drops the schema of an all-empty dataset
+        # (see schema_floor); rebuild the typed partial frame
+        parts = pd.DataFrame({
+            "l_orderkey": pd.Series([], dtype=np.int64),
+            "o_orderdate": pd.Series([], dtype="datetime64[ns]"),
+            "rev": pd.Series([], dtype=np.int64)})
     agg = parts.groupby(["l_orderkey", "o_orderdate"], sort=False)["rev"].sum().reset_index()
     agg["revenue"] = agg["rev"].map(float) / 10000.0
     agg = agg.sort_values(
@@ -768,11 +778,16 @@ def q_tpch_q5(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    oc = orders.join(cust, join_type="inner",
-                     num_partitions=pick_partitions(orders, cust),
-                     on=("o_custkey",), right_on=("c_custkey",))
-    j = li.join(oc, join_type="inner", num_partitions=pick_partitions(li, oc),
-                on=("l_orderkey",), right_on=("o_orderkey",))
+    from .stages.joins import safe_join
+
+    # safe_join: orders is date-filtered and cust region-filtered — either
+    # can be empty or lead with an empty block; li is a plain projected
+    # read, so its side skips the scrub pass
+    oc = safe_join(orders, cust, join_type="inner",
+                   on=("o_custkey",), right_on=("c_custkey",))
+    j = safe_join(li, oc, join_type="inner",
+                  on=("l_orderkey",), right_on=("o_orderkey",),
+                  scrub_left=False)
 
     if sup_broadcast:
         def _partial(t: pa.Table) -> pa.Table:
@@ -793,21 +808,16 @@ def q_tpch_q5(sf_dir: str):
             return pa.Table.from_pandas(g, preserve_index=False)
     else:
         # over-cap supplier: attach nationkey via one more hash join,
-        # pre-filtered to the region's nations so the shuffle stays pruned.
-        # scrub: a filter can leave the first block empty, which silences
-        # Ray's join schema broadcast (hash_shuffle.py:223 early-return)
-        from .stages.partitioning import scrub_empty_blocks as _scrub
-
-        supds = _scrub(read_parquet_sized(
+        # pre-filtered to the region's nations so the shuffle stays pruned
+        supds = read_parquet_sized(
             f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
         ).map_batches(
             lambda t: t.filter(
                 pc.is_in(t["s_nationkey"], value_set=region_keys)),
             batch_format="pyarrow",
-        ))
-        j = j.join(supds, join_type="inner",
-                   num_partitions=pick_partitions(j, supds),
-                   on=("l_suppkey",), right_on=("s_suppkey",))
+        )
+        j = safe_join(j, supds, join_type="inner",
+                      on=("l_suppkey",), right_on=("s_suppkey",))
 
         def _partial(t: pa.Table) -> pa.Table:
             keep = (t["s_nationkey"].to_numpy(zero_copy_only=False)
@@ -867,8 +877,13 @@ def q_tpch_q14(sf_dir: str):
         )).select(["l_partkey", "l_extendedprice", "l_discount"]),
         batch_format="pyarrow",
     )
-    j = li.join(part, join_type="inner", num_partitions=pick_partitions(li, part),
-                on=("l_partkey",), right_on=("p_partkey",))
+    from .stages.joins import safe_join
+
+    # safe_join: the fact side is date-filtered (can be empty-blocked);
+    # part is a plain projected read — no scrub pass needed there
+    j = safe_join(li, part, join_type="inner",
+                  on=("l_partkey",), right_on=("p_partkey",),
+                  scrub_right=False)
 
     def _partial(t: pa.Table) -> pa.Table:
         price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
@@ -881,6 +896,10 @@ def q_tpch_q14(sf_dir: str):
         })
 
     parts = j.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        # empty join (Ray 2.49 to_pandas drops the schema): mirror the
+        # SQL oracle, whose SUM()s are NULL and the ratio NULL
+        return pd.DataFrame({"promo_revenue_pct": [np.nan]})
     promo, total = int(parts["promo_rev"].sum()), int(parts["total_rev"].sum())
     return pd.DataFrame({"promo_revenue_pct": [100.0 * float(promo) / float(total)]})
 
@@ -1998,25 +2017,33 @@ def q_semi_join_shuffle(sf_dir: str):
     groupby so the semi join's right side carries one row per key."""
     from ray.data.aggregate import Count, Sum
 
-    from .stages.partitioning import scrub_empty_blocks
+    from .stages.joins import safe_join
+    from .stages.partitioning import schema_floor
 
     raw = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     ).filter(expr=f"o_totalprice > {HIGH_ORDER_PRICE}").select_columns(["o_orderkey"])
-    keys = scrub_empty_blocks(
-        raw.groupby("o_orderkey", num_partitions=pick_partitions(raw))
-        .aggregate(Count(alias_name="c"))
-    )
+    keys = raw.groupby("o_orderkey", num_partitions=pick_partitions(raw)) \
+              .aggregate(Count(alias_name="c"))
 
     ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_quantity"],
     )
-    kept = ds.join(keys, join_type="left_semi",
-                   num_partitions=pick_partitions(ds, keys),
-                   on=("l_orderkey",), right_on=("o_orderkey",))
-    return kept.groupby("l_returnflag", num_partitions=pick_partitions(kept)) \
-               .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+    # safe_join: the key side comes off a selective filter and can be empty
+    # (or carry an empty first block — both crash the native join); the
+    # fact side is a plain projected read, so it skips the scrub pass
+    kept = safe_join(ds, keys, join_type="left_semi",
+                     on=("l_orderkey",), right_on=("o_orderkey",),
+                     scrub_left=False,
+                     right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                             ("c", pa.int64())]))
+    out = kept.groupby("l_returnflag", num_partitions=pick_partitions(kept)) \
+              .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+    return schema_floor(out, pd.DataFrame({
+        "l_returnflag": pd.Series([], dtype=object),
+        "n": pd.Series([], dtype=np.int64),
+        "sum_qty": pd.Series([], dtype=np.float64)}))
 
 
 def q_full_join(sf_dir: str):
@@ -2027,8 +2054,6 @@ def q_full_join(sf_dir: str):
     (one IEEE division at the end); the join key is COALESCEd back to one
     column on both engines."""
     from ray.data.aggregate import Sum
-
-    from .stages.partitioning import scrub_empty_blocks
 
     def _even(t: pa.Table) -> pa.Table:
         ids = t["c_custkey"].to_numpy(zero_copy_only=False)
@@ -2054,16 +2079,21 @@ def q_full_join(sf_dir: str):
         )
         return out.rename_columns(["o_custkey", "spent_c", "n"])
 
-    agg = scrub_empty_blocks(
-        orders.map_batches(_combine, batch_format="pyarrow")
-              .groupby("o_custkey", num_partitions=pick_partitions(orders))
-              .aggregate(Sum("spent_c", alias_name="spent_c"),
-                         Sum("n", alias_name="n"))
-    )
+    from .stages.joins import safe_join
 
-    joined = cust.join(agg, join_type="full_outer",
-                       num_partitions=pick_partitions(cust, agg),
-                       on=("c_custkey",), right_on=("o_custkey",))
+    agg = orders.map_batches(_combine, batch_format="pyarrow") \
+                .groupby("o_custkey", num_partitions=pick_partitions(orders)) \
+                .aggregate(Sum("spent_c", alias_name="spent_c"),
+                           Sum("n", alias_name="n"))
+
+    # safe_join: BOTH sides are filter/aggregate-derived and can be empty
+    joined = safe_join(cust, agg, join_type="full_outer",
+                       on=("c_custkey",), right_on=("o_custkey",),
+                       left_schema=pa.schema([("c_custkey", pa.int64()),
+                                              ("c_mktsegment", pa.string())]),
+                       right_schema=pa.schema([("o_custkey", pa.int64()),
+                                               ("spent_c", pa.int64()),
+                                               ("n", pa.int64())]))
 
     def _fill(df: pd.DataFrame) -> pd.DataFrame:
         # Ray's full_outer join coalesces right_on into the left key column
@@ -2077,7 +2107,14 @@ def q_full_join(sf_dir: str):
             "big_total": cents.astype(np.float64) / 100.0,
         })
 
-    return joined.map_batches(_fill, batch_format="pandas")
+    from .stages.partitioning import schema_floor
+
+    return schema_floor(
+        joined.map_batches(_fill, batch_format="pandas"),
+        pd.DataFrame({"custkey": pd.Series([], dtype=np.int64),
+                      "c_mktsegment": pd.Series([], dtype=object),
+                      "n_big_orders": pd.Series([], dtype=np.int64),
+                      "big_total": pd.Series([], dtype=np.float64)}))
 
 
 SQL_FULL_JOIN = f"""
@@ -2868,9 +2905,12 @@ def q_contamination_join(sf_dir: str):
         return t.filter(pa.array(ids % CONTAM_MOD != 0))
 
     corpus = wins.map_batches(_corpus, batch_format="pyarrow")
-    joined = corpus.join(bench, join_type="left_outer",
-                         num_partitions=pick_partitions(corpus, bench),
-                         on=("h",))
+    from .stages.joins import safe_join
+
+    # safe_join: both sides are modulus-filtered window tables
+    joined = safe_join(corpus, bench, join_type="left_outer", on=("h",),
+                       right_schema=pa.schema([("h", pa.int64()),
+                                               ("bc", pa.int64())]))
 
     def _tally(df: pd.DataFrame) -> pd.DataFrame:
         m = df["m"].to_numpy().astype(np.int64)
@@ -2919,20 +2959,22 @@ def q_left_join(sf_dir: str):
         out = pa.TableGroupBy(tb, "o_custkey").aggregate([("spent_c", "sum"), ("n", "sum")])
         return out.rename_columns(["o_custkey", "spent_c", "n"])
 
-    from .stages.partitioning import scrub_empty_blocks
+    from .stages.joins import safe_join
 
-    # aggregate output feeding a join: drop the schema-less zero-row blocks
-    # hash-aggregate emits for empty reduce partitions (see scrub_empty_blocks)
-    agg = scrub_empty_blocks(
-        orders.map_batches(_combine, batch_format="pyarrow")
-              .groupby("o_custkey", num_partitions=pick_partitions(orders))
-              .aggregate(Sum("spent_c", alias_name="spent_c"),
-                         Sum("n", alias_name="n"))
-    )
+    agg = orders.map_batches(_combine, batch_format="pyarrow") \
+                .groupby("o_custkey", num_partitions=pick_partitions(orders)) \
+                .aggregate(Sum("spent_c", alias_name="spent_c"),
+                           Sum("n", alias_name="n"))
 
-    joined = cust.join(agg, join_type="left_outer",
-                       num_partitions=pick_partitions(cust, agg),
-                       on=("c_custkey",), right_on=("o_custkey",))
+    # safe_join: the aggregate side can be empty (selective price filter)
+    # or carry schema-less zero-row blocks — both crash the native join;
+    # cust is a plain projected read, so its side skips the scrub pass
+    joined = safe_join(cust, agg, join_type="left_outer",
+                       on=("c_custkey",), right_on=("o_custkey",),
+                       scrub_left=False,
+                       right_schema=pa.schema([("o_custkey", pa.int64()),
+                                               ("spent_c", pa.int64()),
+                                               ("n", pa.int64())]))
 
     def _fill(df: pd.DataFrame) -> pd.DataFrame:
         n = df["n"].fillna(0).to_numpy().astype(np.int64)
@@ -4608,9 +4650,13 @@ def q_tpch_q12(sf_dir: str):
     orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    j = li.join(orders, join_type="inner",
-                num_partitions=pick_partitions(li, orders),
-                on=("l_orderkey",), right_on=("o_orderkey",))
+    from .stages.joins import safe_join
+
+    # safe_join: the fact side is date-filtered; orders is a plain
+    # projected read — no scrub pass needed there
+    j = safe_join(li, orders, join_type="inner",
+                  on=("l_orderkey",), right_on=("o_orderkey",),
+                  scrub_right=False)
 
     def _partial(t: pa.Table) -> pa.Table:
         high = pc.or_(
@@ -4626,10 +4672,16 @@ def q_tpch_q12(sf_dir: str):
             df.groupby("l_returnflag", sort=False, as_index=False).sum(),
             preserve_index=False)
 
+    from .stages.partitioning import schema_floor
+
     pre = j.map_batches(_partial, batch_format="pyarrow")
-    return pre.groupby("l_returnflag", num_partitions=pick_partitions(pre)) \
-              .aggregate(Sum("high_line_count", alias_name="high_line_count"),
-                         Sum("low_line_count", alias_name="low_line_count"))
+    out = pre.groupby("l_returnflag", num_partitions=pick_partitions(pre)) \
+             .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                        Sum("low_line_count", alias_name="low_line_count"))
+    return schema_floor(out, pd.DataFrame({
+        "l_returnflag": pd.Series([], dtype=object),
+        "high_line_count": pd.Series([], dtype=np.int64),
+        "low_line_count": pd.Series([], dtype=np.int64)}))
 
 
 SQL_TPCH_Q12 = f"""

@@ -151,3 +151,67 @@ def test_fuzz_embedding_ops(picks, ray_session, tmp_path_factory):
     for name in EMB_QUERIES:
         _assert_parity(name, str(d), con)
     con.close()
+
+
+JOIN_QUERIES = ["left_join", "full_join", "semi_join_shuffle",
+                "tpch_q3", "tpch_q12"]
+
+# order rows straddle HIGH_ORDER_PRICE / Q3 / Q12 windows so every filter
+# can come up empty, partially empty, or full — the shapes that exercise
+# safe_join's degenerate paths and Ray's empty-first-block race
+order_rows = st.lists(
+    st.tuples(
+        st.integers(1, 4),                                 # o_custkey
+        st.sampled_from([399_999.0, 400_001.5, 500_000.0]),  # o_totalprice
+        st.sampled_from(["1995-06-01", "1997-06-01"]),     # o_orderdate
+        st.sampled_from(["1-URGENT", "3-MEDIUM"]),         # o_orderpriority
+    ),
+    min_size=1, max_size=16,
+)
+line_rows = st.lists(
+    st.tuples(
+        st.integers(0, 15),                                # l_orderkey
+        st.sampled_from(["1995-06-01", "1997-06-01", "1998-06-02"]),
+        st.sampled_from(["N", "R"]),                       # l_returnflag
+        st.sampled_from([1.0, 2.0]),                       # l_quantity
+        st.sampled_from([10.0, 20.5]),                     # l_extendedprice
+        st.sampled_from([0.0, 0.05]),                      # l_discount
+    ),
+    min_size=1, max_size=16,
+)
+cust_segments = st.lists(st.sampled_from(["BUILDING", "AUTOMOBILE"]),
+                         min_size=1, max_size=4)
+
+
+@settings(max_examples=max(3, FUZZ_EXAMPLES * 3 // 4), deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(orders=order_rows, lines=line_rows, segs=cust_segments)
+def test_fuzz_join_family(orders, lines, segs, ray_session,
+                          tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_join")
+    pd.DataFrame({
+        "c_custkey": np.arange(1, len(segs) + 1, dtype=np.int64),
+        "c_mktsegment": segs,
+        "c_nationkey": np.zeros(len(segs), dtype=np.int64),
+    }).to_parquet(d / "customer.parquet", index=False)
+    pd.DataFrame({
+        "o_orderkey": np.arange(len(orders), dtype=np.int64),
+        "o_custkey": np.array([o[0] for o in orders], dtype=np.int64),
+        "o_totalprice": np.array([o[1] for o in orders]),
+        "o_orderdate": [np.datetime64(o[2] + "T00:00:00", "us") for o in orders],
+        "o_orderpriority": [o[3] for o in orders],
+    }).to_parquet(d / "orders.parquet", index=False)
+    pd.DataFrame({
+        "l_orderkey": np.array([r[0] for r in lines], dtype=np.int64),
+        "l_shipdate": [np.datetime64(r[1] + "T00:00:00", "us") for r in lines],
+        "l_returnflag": [r[2] for r in lines],
+        "l_quantity": np.array([r[3] for r in lines]),
+        "l_extendedprice": np.array([r[4] for r in lines]),
+        "l_discount": np.array([r[5] for r in lines]),
+    }).to_parquet(d / "lineitem.parquet", index=False)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    for name in JOIN_QUERIES:
+        _assert_parity(name, str(d), con)
+    con.close()
