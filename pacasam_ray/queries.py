@@ -1452,6 +1452,51 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def q_domain_stats(sf_dir: str):
+    """Per-domain corpus stats — the first report every crawl pipeline
+    runs (and the key table for domain-level filtering/blocklists). Host
+    extracted from the url with one RE2 kernel, per-batch pre-combine
+    (domain → pages, chars) so the shuffle moves one row per distinct
+    domain per block, exact-int Sum aggregate. Scales: domains are a
+    bounded key space, so the exchange is proportional to distinct hosts
+    per block, never to pages."""
+    from ray.data.aggregate import Sum
+
+    from .sources.pages import make_url
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _combine(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dom = pc.struct_field(
+            pc.extract_regex(make_url(ids), r"^https://(?P<host>[^/]+)"),
+            "host")
+        df = pd.DataFrame({
+            "domain": dom.to_numpy(zero_copy_only=False),
+            "n_pages": np.ones(len(ids), dtype=np.int64),
+            "total_chars": pc.utf8_length(t["text"])
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        g = df.groupby("domain", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pre = ds.map_batches(_combine, batch_format="pyarrow")
+    return pre.groupby("domain", num_partitions=pick_partitions(pre)) \
+              .aggregate(Sum("n_pages", alias_name="n_pages"),
+                         Sum("total_chars", alias_name="total_chars"))
+
+
+SQL_DOMAIN_STATS = f"""
+SELECT regexp_extract({SQL_URL_DEDUP_RAW}, '^https://([^/]+)', 1) AS domain,
+       COUNT(*) AS n_pages,
+       SUM(LENGTH(text)) AS total_chars
+FROM documents
+GROUP BY 1
+"""
+
+
 def q_top_terms(sf_dir: str):
     """Global top-k terms: per-batch token explode + local counts (the
     combiner — the shuffle moves one row per distinct term per block, never
@@ -5813,6 +5858,54 @@ WHERE ({hmix_sql('doc_id', MIX_SALT)}) * 100
 """
 
 
+TEMP_ALPHA = 0.3
+
+
+def q_source_mix_temperature(sf_dir: str):
+    """Temperature-scaled mixture weights — the multilingual-LM sampling
+    rule (p_s ∝ (n_s/N)^α, α<1 upweights tail sources; Conneau & Lample
+    2019). One shuffle-free pre-combined count scan (one row per source
+    per block, like `grouped_stats`), then the α-power runs on the driver
+    over the tiny per-source table: ``math.pow`` and DuckDB ``POWER`` both
+    resolve to the host libm, so the floats stay bit-identical. Weights
+    are left UNNORMALIZED ((n_s/N)^α): normalizing needs a float sum whose
+    value depends on summation order, which would break cross-engine bit
+    parity — consumers normalize in their own precision."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["source"]
+    )
+
+    def _counts(t: pa.Table) -> pa.Table:
+        src, cnt = np.unique(
+            t["source"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"source": pa.array(src, type=pa.string()),
+                         "n_docs": pa.array(cnt, type=pa.int64())})
+
+    counts = ds.map_batches(_counts, batch_format="pyarrow") \
+               .groupby("source", num_partitions=pick_partitions(ds)) \
+               .aggregate(Sum("n_docs", alias_name="n_docs")) \
+               .to_pandas()  # one row per source: driver-safe at any scale
+    total = int(counts["n_docs"].sum())
+    counts = counts.sort_values("source", kind="mergesort").reset_index(drop=True)
+    counts["weight"] = [
+        math.pow(int(n) / total, TEMP_ALPHA) for n in counts["n_docs"]]
+    return counts[["source", "n_docs", "weight"]]
+
+
+SQL_SOURCE_MIX_TEMPERATURE = f"""
+WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+     t AS (SELECT SUM(n_docs) AS tot FROM c)
+SELECT source, n_docs,
+       POWER(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE), {TEMP_ALPHA}) AS weight
+FROM c, t
+ORDER BY source
+"""
+
+
 US_PER_HOUR = 3_600_000_000
 
 
@@ -6001,6 +6094,7 @@ def build_queries() -> dict:
         "text_scrub": q_text_scrub,
         "repetition_ratio": q_repetition_ratio,
         "url_dedup": q_url_dedup,
+        "domain_stats": q_domain_stats,
         "top_terms": q_top_terms,
         "distinct_hll": q_distinct_hll,
         "grouped_topk": q_grouped_topk,
@@ -6074,6 +6168,7 @@ def build_queries() -> dict:
         "doc_chunk": q_doc_chunk,
         "pack_linear": q_pack_linear,
         "source_mix": q_source_mix,
+        "source_mix_temperature": q_source_mix_temperature,
         "cumulative_users": q_cumulative_users,
         "token_count_regex": q_token_count_regex,
         "bigram_counts": q_bigram_counts,
@@ -6174,6 +6269,7 @@ def build_oracle_sql() -> dict:
         "text_scrub": _sql_text_scrub(),
         "repetition_ratio": _sql_repetition_ratio(),
         "url_dedup": SQL_URL_DEDUP,
+        "domain_stats": SQL_DOMAIN_STATS,
         "top_terms": SQL_TOP_TERMS,
         "distinct_hll": _sql_distinct_hll(),
         "grouped_topk": SQL_GROUPED_TOPK,
@@ -6242,6 +6338,7 @@ def build_oracle_sql() -> dict:
         "doc_chunk": SQL_DOC_CHUNK,
         "pack_linear": SQL_PACK_LINEAR,
         "source_mix": _sql_source_mix(),
+        "source_mix_temperature": SQL_SOURCE_MIX_TEMPERATURE,
         "cumulative_users": SQL_CUMULATIVE_USERS,
         "token_count_regex": SQL_TOKEN_COUNT_REGEX,
         "bigram_counts": SQL_BIGRAM_COUNTS,
