@@ -315,3 +315,291 @@ SELECT t.{id_col},
        END AS rep_ratio
 FROM t LEFT JOIN d ON t.{id_col} = d.{id_col}
 """
+
+
+# --- Gopher document-quality rules (Rae et al. 2021, table A1 shape) ---------
+#
+# Thresholds are scaled to the synthetic corpus (10-99 words/doc) so both
+# keep/drop outcomes occur at every sf; the rule SHAPE is the published one:
+# word-count bounds, mean-word-length band, symbol-to-word ratio, fraction of
+# alphabetic words, minimum distinct-stopword hits.
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_SYMBOLS = ["#", "..."]
+
+
+def gopher_filter(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style document quality rules, fully vectorized Arrow kernels.
+
+    Word list is ``string_split(text, ' ')`` (an empty text is one empty
+    word) so every count matches the DuckDB twin exactly; the ratios are
+    single IEEE-double divisions over those integers, so flags and ``kept``
+    are bit-exact oracle-checkable.
+    """
+    text = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(zero_copy_only=False)
+    toks = pc.split_pattern(text, " ")
+    n_words = pc.cast(pc.list_value_length(toks), pa.int64()).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    has_alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(zero_copy_only=False)
+    n_alpha = np.zeros(len(batch), dtype=np.int64)
+    np.add.at(n_alpha, parent, has_alpha.astype(np.int64))
+
+    n_sym = np.zeros(len(batch), dtype=np.int64)
+    for s in GOPHER_SYMBOLS:
+        n_sym = n_sym + _count_occurrences(text, s).to_numpy(zero_copy_only=False)
+
+    lowered = pc.utf8_lower(text)
+    pad = pa.array([" "] * len(batch))
+    padded = pc.binary_join_element_wise(pad, lowered, pad, "")
+    n_stop = np.zeros(len(batch), dtype=np.int64)
+    for w in STOPWORDS:
+        hit = pc.match_substring(padded, f" {w} ").to_numpy(zero_copy_only=False)
+        n_stop = n_stop + hit.astype(np.int64)
+
+    words_f = n_words.astype(np.float64)
+    # sum of word lengths == n_chars - (n_words - 1) separators
+    mean_word_len = (n_chars - (n_words - 1)).astype(np.float64) / words_f
+    symbol_ratio = n_sym.astype(np.float64) / words_f
+    alpha_frac = n_alpha.astype(np.float64) / words_f
+
+    f_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    f_mean = (mean_word_len >= GOPHER_MIN_MEAN_LEN) & (mean_word_len <= GOPHER_MAX_MEAN_LEN)
+    f_symbol = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    f_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    f_stop = n_stop >= GOPHER_MIN_STOP_HITS
+    kept = f_words & f_mean & f_symbol & f_alpha & f_stop
+    return pa.table({
+        id_col: batch[id_col],
+        "n_words": pa.array(n_words),
+        "mean_word_len": pa.array(mean_word_len),
+        "symbol_ratio": pa.array(symbol_ratio),
+        "alpha_frac": pa.array(alpha_frac),
+        "n_stop_hits": pa.array(n_stop),
+        "f_words": pa.array(f_words),
+        "f_mean_len": pa.array(f_mean),
+        "f_symbol": pa.array(f_symbol),
+        "f_alpha": pa.array(f_alpha),
+        "f_stop": pa.array(f_stop),
+        "kept": pa.array(kept),
+    })
+
+
+def gopher_filter_sql(table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """Bit-exact DuckDB twin of :func:`gopher_filter`."""
+    n_sym = " + ".join(
+        f"({count_occurrences_sql(text_col, s)})" for s in GOPHER_SYMBOLS
+    )
+    padded = f"' ' || LOWER({text_col}) || ' '"
+    n_stop = " + ".join(
+        f"(CASE WHEN {padded} LIKE '% {w} %' THEN 1 ELSE 0 END)" for w in STOPWORDS
+    )
+    return f"""
+WITH f AS (
+  SELECT {id_col},
+         CAST(LENGTH({text_col}) AS BIGINT) AS n_chars,
+         CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split({text_col}, ' '),
+                              x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         CAST({n_sym} AS BIGINT) AS n_sym,
+         CAST({n_stop} AS BIGINT) AS n_stop_hits
+  FROM {table}
+), r AS (
+  SELECT *,
+    CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+    CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+    CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac
+  FROM f
+), flags AS (
+  SELECT *,
+    (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS f_words,
+    (mean_word_len >= {GOPHER_MIN_MEAN_LEN} AND mean_word_len <= {GOPHER_MAX_MEAN_LEN}) AS f_mean_len,
+    (symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS f_symbol,
+    (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS f_alpha,
+    (n_stop_hits >= {GOPHER_MIN_STOP_HITS}) AS f_stop
+  FROM r
+)
+SELECT {id_col}, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop_hits,
+       f_words, f_mean_len, f_symbol, f_alpha, f_stop,
+       (f_words AND f_mean_len AND f_symbol AND f_alpha AND f_stop) AS kept
+FROM flags
+"""
+
+
+# --- C4-style document rules (Raffel et al. 2020) ----------------------------
+
+C4_BANNED = ["lorem ipsum", "javascript", "cookie policy", "privacy policy"]
+C4_MIN_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_filter(batch: pa.Table, text_col: str = "text",
+              id_col: str = "doc_id") -> pa.Table:
+    """C4-style document-level rules as per-doc boolean flags: terminal
+    punctuation at document end, no curly brace, no banned boilerplate
+    phrase, minimum word count, minimum sentence count (terminal-punct
+    occurrences). Emitting flags (not a filtered subset) keeps the row
+    count stable for the oracle while the ``kept`` column is the filter."""
+    text = batch[text_col]
+    lowered = pc.utf8_lower(text)
+    f_terminal = pc.match_substring_regex(text, "[.!?]$").to_numpy(zero_copy_only=False)
+    f_brace = np.logical_not(
+        pc.match_substring(text, "{").to_numpy(zero_copy_only=False))
+    f_banned = np.ones(len(batch), dtype=bool)
+    for phrase in C4_BANNED:
+        f_banned &= np.logical_not(
+            pc.match_substring(lowered, phrase).to_numpy(zero_copy_only=False))
+    n_words = pc.cast(
+        pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    n_sent = np.zeros(len(batch), dtype=np.int64)
+    for p in (".", "!", "?"):
+        n_sent = n_sent + _count_occurrences(text, p).to_numpy(zero_copy_only=False)
+    f_words = n_words >= C4_MIN_WORDS
+    f_sent = n_sent >= C4_MIN_SENTENCES
+    kept = f_terminal & f_brace & f_banned & f_words & f_sent
+    return pa.table({
+        id_col: batch[id_col],
+        "n_words": pa.array(n_words),
+        "n_sentences": pa.array(n_sent),
+        "f_terminal": pa.array(f_terminal),
+        "f_no_brace": pa.array(f_brace),
+        "f_no_banned": pa.array(f_banned),
+        "f_min_words": pa.array(f_words),
+        "f_min_sentences": pa.array(f_sent),
+        "kept": pa.array(kept),
+    })
+
+
+def c4_filter_sql(table: str = "documents", text_col: str = "text",
+                  id_col: str = "doc_id") -> str:
+    banned = " AND ".join(
+        f"(LOWER({text_col}) NOT LIKE '%{p}%')" for p in C4_BANNED
+    )
+    n_sent = " + ".join(
+        f"({count_occurrences_sql(text_col, p)})" for p in (".", "!", "?")
+    )
+    return f"""
+WITH f AS (
+  SELECT {id_col},
+         CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS n_words,
+         CAST({n_sent} AS BIGINT) AS n_sentences,
+         regexp_matches({text_col}, '[.!?]$') AS f_terminal,
+         ({text_col} NOT LIKE '%{{%') AS f_no_brace,
+         ({banned}) AS f_no_banned
+  FROM {table}
+)
+SELECT {id_col}, n_words, n_sentences, f_terminal, f_no_brace, f_no_banned,
+       (n_words >= {C4_MIN_WORDS}) AS f_min_words,
+       (n_sentences >= {C4_MIN_SENTENCES}) AS f_min_sentences,
+       (f_terminal AND f_no_brace AND f_no_banned
+        AND n_words >= {C4_MIN_WORDS}
+        AND n_sentences >= {C4_MIN_SENTENCES}) AS kept
+FROM f
+"""
+
+
+# --- Gopher n-gram coverage signals ------------------------------------------
+
+def top_ngram_frac(batch: pa.Table, text_col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """Fraction of characters covered by the most frequent word-2-gram
+    (count × gram length / doc length; overlaps double-count, as in the
+    published rule). Tie-break: highest count, then lexicographically
+    smallest gram — mirrored by the SQL twin's ORDER BY. Per-document
+    Counter loop (set/multiset construction is inherently per-doc; the
+    stage is still a batch transform over Arrow blocks)."""
+    from collections import Counter
+
+    out = []
+    for txt in batch[text_col].to_pylist():
+        w = txt.split(" ")
+        if len(w) < 2 or len(txt) == 0:
+            out.append(0.0)
+            continue
+        c = Counter(w[i] + " " + w[i + 1] for i in range(len(w) - 1))
+        gram, cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append(float(cnt * len(gram)) / float(len(txt)))
+    return pa.table({
+        id_col: batch[id_col],
+        "top2gram_frac": pa.array(out, pa.float64()),
+    })
+
+
+def top_ngram_frac_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS w,
+         CAST(LENGTH({text_col}) AS BIGINT) AS nc
+  FROM {table}
+),
+g AS (SELECT {id_col}, nc, w[i] || ' ' || w[i+1] AS g
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+c AS (SELECT {id_col}, nc, g, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+top_ AS (
+  SELECT {id_col}, g, cnt
+  FROM c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY cnt DESC, g) = 1
+)
+SELECT t.{id_col},
+       CASE WHEN r.g IS NULL OR t.nc = 0 THEN 0.0
+            ELSE CAST(r.cnt * LENGTH(r.g) AS DOUBLE) / CAST(t.nc AS DOUBLE)
+       END AS top2gram_frac
+FROM toks t LEFT JOIN top_ r ON t.{id_col} = r.{id_col}
+"""
+
+
+def dup_ngram_frac(batch: pa.Table, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 3) -> pa.Table:
+    """Fraction of characters inside word-n-grams that occur more than once
+    in the document (sum over duplicated grams of count × gram length,
+    divided by doc length). The Gopher 'duplicate n-gram character
+    fraction' family, simplified to overlap-double-counting coverage so the
+    SQL twin is a plain GROUP BY + conditional SUM."""
+    from collections import Counter
+
+    out = []
+    for txt in batch[text_col].to_pylist():
+        w = txt.split(" ")
+        if len(w) < n or len(txt) == 0:
+            out.append(0.0)
+            continue
+        c = Counter(" ".join(w[i:i + n]) for i in range(len(w) - n + 1))
+        dup_chars = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+        out.append(float(dup_chars) / float(len(txt)))
+    return pa.table({
+        id_col: batch[id_col],
+        "dup3gram_frac": pa.array(out, pa.float64()),
+    })
+
+
+def dup_ngram_frac_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS w,
+         CAST(LENGTH({text_col}) AS BIGINT) AS nc
+  FROM {table}
+),
+g AS (SELECT {id_col}, nc, {gram} AS g
+      FROM toks, UNNEST(generate_series(1, len(w) - {n - 1})) AS u(i)),
+c AS (SELECT {id_col}, nc, g, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+d AS (SELECT {id_col}, SUM(CASE WHEN cnt > 1 THEN cnt * LENGTH(g) ELSE 0 END) AS dup_chars
+      FROM c GROUP BY 1)
+SELECT t.{id_col},
+       CASE WHEN t.nc = 0 OR d.dup_chars IS NULL THEN 0.0
+            ELSE CAST(d.dup_chars AS DOUBLE) / CAST(t.nc AS DOUBLE)
+       END AS dup3gram_frac
+FROM toks t LEFT JOIN d ON t.{id_col} = d.{id_col}
+"""

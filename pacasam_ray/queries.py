@@ -1263,6 +1263,37 @@ def q_repetition_ratio(sf_dir: str):
     return _docs(sf_dir).map_batches(repetition_ratio, batch_format="pyarrow")
 
 
+def q_gopher_filter(sf_dir: str):
+    """Gopher-style quality rules (Rae et al. 2021 table-A1 shape): word
+    count bounds, mean-word-length band, symbol ratio, alphabetic-word
+    fraction, stopword hits — one vectorized Arrow pass, flags + kept."""
+    from .functions.text import gopher_filter
+
+    return _docs(sf_dir).map_batches(gopher_filter, batch_format="pyarrow")
+
+
+def q_c4_filter(sf_dir: str):
+    """C4-style document rules (Raffel et al. 2020): terminal punctuation,
+    curly-brace / boilerplate-phrase bans, word and sentence minimums."""
+    from .functions.text import c4_filter
+
+    return _docs(sf_dir).map_batches(c4_filter, batch_format="pyarrow")
+
+
+def q_top_ngram_frac(sf_dir: str):
+    """Gopher top-2-gram character coverage per document."""
+    from .functions.text import top_ngram_frac
+
+    return _docs(sf_dir).map_batches(top_ngram_frac, batch_format="pyarrow")
+
+
+def q_dup_ngram_frac(sf_dir: str):
+    """Gopher duplicate-3-gram character coverage per document."""
+    from .functions.text import dup_ngram_frac
+
+    return _docs(sf_dir).map_batches(dup_ngram_frac, batch_format="pyarrow")
+
+
 def q_text_scrub(sf_dir: str):
     """PII-style redaction (emails → <EMAIL>, phone-like digit runs →
     <PHONE>, numbers → <NUM>): actor-pool stage with regexes compiled once
@@ -6093,6 +6124,10 @@ def build_queries() -> dict:
         "neardup_components": q_neardup_components,
         "text_scrub": q_text_scrub,
         "repetition_ratio": q_repetition_ratio,
+        "gopher_filter": q_gopher_filter,
+        "c4_filter": q_c4_filter,
+        "top_ngram_frac": q_top_ngram_frac,
+        "dup_ngram_frac": q_dup_ngram_frac,
         "url_dedup": q_url_dedup,
         "domain_stats": q_domain_stats,
         "top_terms": q_top_terms,
@@ -6268,6 +6303,10 @@ def build_oracle_sql() -> dict:
         "neardup_components": _sql_neardup_components(),
         "text_scrub": _sql_text_scrub(),
         "repetition_ratio": _sql_repetition_ratio(),
+        "gopher_filter": _sql_gopher_filter(),
+        "c4_filter": _sql_c4_filter(),
+        "top_ngram_frac": _sql_top_ngram_frac(),
+        "dup_ngram_frac": _sql_dup_ngram_frac(),
         "url_dedup": SQL_URL_DEDUP,
         "domain_stats": SQL_DOMAIN_STATS,
         "top_terms": SQL_TOP_TERMS,
@@ -6397,6 +6436,30 @@ def _sql_repetition_ratio() -> str:
     from .functions.text import repetition_ratio_sql
 
     return repetition_ratio_sql("documents")
+
+
+def _sql_gopher_filter() -> str:
+    from .functions.text import gopher_filter_sql
+
+    return gopher_filter_sql("documents")
+
+
+def _sql_c4_filter() -> str:
+    from .functions.text import c4_filter_sql
+
+    return c4_filter_sql("documents")
+
+
+def _sql_top_ngram_frac() -> str:
+    from .functions.text import top_ngram_frac_sql
+
+    return top_ngram_frac_sql("documents")
+
+
+def _sql_dup_ngram_frac() -> str:
+    from .functions.text import dup_ngram_frac_sql
+
+    return dup_ngram_frac_sql("documents")
 
 
 def _sql_distinct_hll() -> str:

@@ -35,7 +35,9 @@ EVENT_QUERIES = [
 DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
                "repetition_ratio", "tfidf_topk", "heavy_hitters",
                "doc_chunk", "pack_linear", "source_mix", "bigram_counts",
-               "token_count_regex", "lm_score"]
+               "token_count_regex", "lm_score",
+               "gopher_filter", "c4_filter", "top_ngram_frac",
+               "dup_ngram_frac"]
 
 
 def _assert_parity(name, sf_dir, con):
@@ -64,7 +66,8 @@ events_frames = st.lists(
 )
 
 doc_texts = st.lists(
-    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee extra"]),
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee extra",
+                              "the", "a.", "x!", "#n", "w...", "{j", ""]),
              min_size=1, max_size=8).map(" ".join),
     min_size=2, max_size=10,
 )
