@@ -11,6 +11,8 @@ bit-for-bit at any Ray parallelism.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 from .io import read_parquet_sized
 import pandas as pd
@@ -5500,6 +5502,130 @@ FROM q GROUP BY label, dim
 """
 
 
+COV_Q = 4096  # 2^12: |q| ≤ 2^11, q·q ≤ 2^22 — int64-exact sums to ~2e12 rows
+
+
+def q_embed_covariance(sf_dir: str):
+    """Distributed covariance matrix over the embedding column (the PCA /
+    whitening front-end): one pass of per-block int64 Gram partials
+    (m.T @ m, one matmul per block), a (dim²/2)-row groupby-sum shuffle —
+    never a vector per row — then one mirrored IEEE expression per cell.
+    Embeddings are int64-quantized (half-away-from-zero, like
+    `label_centroids`) so block-order-independent integer sums make the
+    DuckDB twin bit-exact."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        if len(emb) == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "sij": pa.array([], pa.int64()),
+                             "si": pa.array([], pa.int64()),
+                             "sj": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        dim = len(emb[0])
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+        x = flat.astype(np.float64) * COV_Q
+        m = np.trunc(x + np.copysign(0.5, x)).astype(np.int64).reshape(-1, dim)
+        s = m.sum(axis=0)
+        g = m.T @ m
+        iu = np.triu_indices(dim)
+        return pa.table({
+            "i": iu[0].astype(np.int64),
+            "j": iu[1].astype(np.int64),
+            "sij": g[iu],
+            "si": s[iu[0]],
+            "sj": s[iu[1]],
+            "n": np.full(len(iu[0]), m.shape[0], dtype=np.int64),
+        })
+
+    pre = ds.map_batches(_partial, batch_format="pyarrow")
+    agg = pre.groupby(["i", "j"], num_partitions=pick_partitions(pre)) \
+             .aggregate(Sum("sij", alias_name="sij"),
+                        Sum("si", alias_name="si"),
+                        Sum("sj", alias_name="sj"),
+                        Sum("n", alias_name="n")).to_pandas()
+    if len(agg) == 0:
+        return pd.DataFrame({"i": pd.Series(dtype=np.int64),
+                             "j": pd.Series(dtype=np.int64),
+                             "cov": pd.Series(dtype=np.float64)})
+    n = agg["n"].astype(np.float64)
+    agg["cov"] = (agg["sij"].astype(np.float64) / n
+                  - (agg["si"].astype(np.float64) / n)
+                  * (agg["sj"].astype(np.float64) / n)) \
+        / (float(COV_Q) * float(COV_Q))
+    agg = agg.sort_values(["i", "j"], kind="mergesort")
+    return agg[["i", "j", "cov"]].reset_index(drop=True) \
+        .astype({"i": np.int64, "j": np.int64})
+
+
+SQL_EMBED_COVARIANCE = f"""
+WITH q AS (
+  SELECT vec_id,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {COV_Q}) AS BIGINT) AS e,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+p AS (SELECT a.dim AS i, b.dim AS j, a.e AS ei, b.e AS ej
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim),
+s AS (SELECT i, j, SUM(ei * ej) AS sij, SUM(ei) AS si, SUM(ej) AS sj,
+             COUNT(*) AS n
+      FROM p GROUP BY i, j)
+SELECT i, j,
+       (CAST(sij AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(si AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sj AS DOUBLE) / CAST(n AS DOUBLE)))
+       / (CAST({COV_Q} AS DOUBLE) * CAST({COV_Q} AS DOUBLE)) AS cov
+FROM s
+"""
+
+
+HASH_SPLIT_SALT = "split-v1"
+HASH_SPLIT_TRAIN, HASH_SPLIT_VAL = 80, 90  # /100 buckets
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic hash-based train/val/test assignment: bucket =
+    md5-lower-64(doc_id ∥ salt) mod 100 — the standard reproducible,
+    shuffle-free split stamp (any worker computes any row's split with no
+    coordination, and re-runs never reshuffle rows between splits).
+    Matches DuckDB's md5_number_lower (little-endian bytes 8..16)."""
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def _assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        buckets = np.empty(len(ids), dtype=np.int64)
+        for k, v in enumerate(ids):
+            d = hashlib.md5(f"{v}:{HASH_SPLIT_SALT}".encode()).digest()
+            buckets[k] = int.from_bytes(d[8:16], "little") % 100
+        split = np.where(buckets < HASH_SPLIT_TRAIN, "train",
+                         np.where(buckets < HASH_SPLIT_VAL, "val", "test"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "bucket": pa.array(buckets),
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+SQL_HASH_SPLIT = f"""
+SELECT doc_id,
+       CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':{HASH_SPLIT_SALT}')
+            % 100 AS BIGINT) AS bucket,
+       CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR) || ':{HASH_SPLIT_SALT}') % 100
+                 < {HASH_SPLIT_TRAIN} THEN 'train'
+            WHEN md5_number_lower(CAST(doc_id AS VARCHAR) || ':{HASH_SPLIT_SALT}') % 100
+                 < {HASH_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_stream_dedup_count(sf_dir: str):
     """Streaming (arrival-order) dedup through the sharded-actor hash
     index (`stages/streamdedup.py`): the corpus drains batch-by-batch
@@ -6218,6 +6344,8 @@ def build_queries() -> dict:
         "knn_eval": q_knn_eval,
         "revenue_share": q_revenue_share,
         "semdedup": q_semdedup,
+        "embed_covariance": q_embed_covariance,
+        "hash_split": q_hash_split,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -6392,6 +6520,8 @@ def build_oracle_sql() -> dict:
         "knn_eval": _sql_knn_eval(),
         "semdedup": _sql_semdedup(),
         "revenue_share": SQL_REVENUE_SHARE,
+        "embed_covariance": SQL_EMBED_COVARIANCE,
+        "hash_split": SQL_HASH_SPLIT,
     }
 
 
