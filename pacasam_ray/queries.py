@@ -5626,6 +5626,370 @@ FROM documents
 """
 
 
+def q_kmeans_lloyd(sf_dir: str):
+    """Full distributed k-means TRAINING (two Lloyd iterations), not just
+    the assignment step: iteration 1 assigns every embedding to the best
+    of the 4 seed centroids (`KMEANS_CENTROID_IDS`, int64-quantized, one
+    matmul per block — same kernel as `q_kmeans_assign`) and, in the SAME
+    pass, scatter-adds per-centroid dimension sums so the centroid update
+    is one tiny (K·dim)-row groupby-sum shuffle — never a vector per row.
+    The new centroids are rounded-division integer means
+    (sign·((2|s|+n)//(2n)), half-away-from-zero — exact int arithmetic
+    the DuckDB twin mirrors with positive-operand `//`), so iteration 2's
+    cosines are again single portable IEEE expressions over exact ints.
+    A centroid that lost all members, or whose rounded mean is the zero
+    vector, keeps its previous quantized vector (mirrored with CASE in
+    the oracle) so no cosine ever divides by a zero norm. Returns the
+    iteration-2 assignment (vec_id, centroid_id, cos)."""
+    from ray.data.aggregate import Sum
+
+    from .functions.similarity import (cosine_from_ints, load_query_matrix,
+                                       quantize)
+
+    path = f"{sf_dir}/embeddings.parquet"
+    K = len(KMEANS_CENTROID_IDS)
+    c0 = load_query_matrix(path, KMEANS_CENTROID_IDS)  # already quantized
+    dim = c0.shape[1]
+    c0_ref = ray.put((c0, (c0 * c0).sum(axis=1)))
+
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
+
+    def _assign_and_sum(t: pa.Table) -> pa.Table:
+        cmat, cn = ray.get(c0_ref)
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        acc = np.zeros((K, dim), dtype=np.int64)
+        cnt = np.zeros(K, dtype=np.int64)
+        if len(emb):
+            mat = quantize(np.stack(emb.to_numpy(zero_copy_only=False)))
+            dots = mat @ cmat.T
+            norms = (mat * mat).sum(axis=1)
+            cos = cosine_from_ints(dots, norms[:, None], cn[None, :])
+            best = np.argmax(cos, axis=1)
+            np.add.at(acc, best, mat)
+            cnt += np.bincount(best, minlength=K)
+        cid = np.repeat(np.arange(K, dtype=np.int64), dim)
+        return pa.table({
+            "cid": cid,
+            "dim": np.tile(np.arange(dim, dtype=np.int64), K),
+            "s": acc.reshape(-1),
+            "n": np.repeat(cnt, dim),
+        })
+
+    part = ds.map_batches(_assign_and_sum, batch_format="pyarrow")
+    agg = part.groupby(["cid", "dim"]) \
+              .aggregate(Sum("s", alias_name="s"),
+                         Sum("n", alias_name="n")).to_pandas()
+    c1 = c0.copy()
+    if len(agg):
+        s = np.zeros((K, dim), dtype=np.int64)
+        n = np.zeros(K, dtype=np.int64)
+        ci = agg["cid"].to_numpy()
+        di = agg["dim"].to_numpy()
+        s[ci, di] = agg["s"].to_numpy()
+        n[ci] = agg["n"].to_numpy()
+        for k in range(K):
+            if n[k] == 0:
+                continue
+            m = np.sign(s[k]) * ((2 * np.abs(s[k]) + n[k]) // (2 * n[k]))
+            if np.any(m):
+                c1[k] = m
+    c1_ref = ray.put((c1, (c1 * c1).sum(axis=1)))
+
+    def _assign2(t: pa.Table) -> pa.Table:
+        cmat, cn = ray.get(c1_ref)
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        if len(emb) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "centroid_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        mat = quantize(np.stack(emb.to_numpy(zero_copy_only=False)))
+        dots = mat @ cmat.T
+        norms = (mat * mat).sum(axis=1)
+        cos = cosine_from_ints(dots, norms[:, None], cn[None, :])
+        best = np.argmax(cos, axis=1)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "centroid_id": pa.array(best.astype(np.int64)),
+            "cos": pa.array(cos[np.arange(len(best)), best]),
+        })
+
+    return ds.map_batches(_assign2, batch_format="pyarrow")
+
+
+def _sql_kmeans_lloyd() -> str:
+    from .functions.similarity import quantize_sql
+
+    qe = quantize_sql("embedding")
+    order = ", ".join(f"({i}, {ci})" for ci, i in enumerate(KMEANS_CENTROID_IDS))
+    return f"""
+WITH z AS (SELECT vec_id, {qe} AS e FROM embeddings),
+nz AS (SELECT vec_id, e,
+       (SELECT SUM(e[i] * e[i]) FROM generate_series(1, {EMB_DIM}) t(i)) AS nn FROM z),
+cmap AS (SELECT CAST(qid AS BIGINT) AS qid, CAST(cid AS BIGINT) AS centroid_id
+         FROM (VALUES {order}) v(qid, cid)),
+c0 AS (SELECT centroid_id, e AS ce, nn AS cn FROM nz JOIN cmap ON vec_id = qid),
+a1 AS (SELECT vec_id, centroid_id FROM (
+         SELECT nz.vec_id, c0.centroid_id,
+                CAST((SELECT SUM(c0.ce[i] * nz.e[i])
+                      FROM generate_series(1, {EMB_DIM}) t(i)) AS DOUBLE)
+                / (SQRT(CAST(nz.nn AS DOUBLE)) * SQRT(CAST(c0.cn AS DOUBLE)))
+                AS cos
+         FROM nz, c0)
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, centroid_id) = 1),
+su AS (SELECT a1.centroid_id AS cid, t.i AS dim, SUM(nz.e[t.i]) AS s,
+              COUNT(*) AS n
+       FROM a1 JOIN nz USING (vec_id), generate_series(1, {EMB_DIM}) t(i)
+       GROUP BY 1, 2),
+mv AS (SELECT cid, dim,
+              CASE WHEN s < 0
+                   THEN -CAST(((2 * (-s) + n) // (2 * n)) AS BIGINT)
+                   ELSE CAST(((2 * s + n) // (2 * n)) AS BIGINT) END AS m
+       FROM su),
+c1l AS (SELECT cid, list(m ORDER BY dim) AS ce, SUM(ABS(m)) AS zsum
+        FROM mv GROUP BY cid),
+c1 AS (SELECT cm.centroid_id,
+              CASE WHEN c1l.ce IS NULL OR c1l.zsum = 0
+                   THEN c0.ce ELSE c1l.ce END AS ce
+       FROM cmap cm
+       LEFT JOIN c1l ON c1l.cid = cm.centroid_id
+       LEFT JOIN c0 ON c0.centroid_id = cm.centroid_id),
+c1n AS (SELECT centroid_id, ce,
+               (SELECT SUM(ce[i] * ce[i])
+                FROM generate_series(1, {EMB_DIM}) t(i)) AS cn
+        FROM c1)
+SELECT vec_id, centroid_id, cos FROM (
+  SELECT nz.vec_id, c1n.centroid_id,
+         CAST((SELECT SUM(c1n.ce[i] * nz.e[i])
+               FROM generate_series(1, {EMB_DIM}) t(i)) AS DOUBLE)
+         / (SQRT(CAST(nz.nn AS DOUBLE)) * SQRT(CAST(c1n.cn AS DOUBLE)))
+         AS cos
+  FROM nz, c1n)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY cos DESC, centroid_id) = 1
+"""
+
+
+SEG_W = 8  # words per dedup segment
+
+
+def q_sentence_dedup(sf_dir: str):
+    """C4-style sub-document dedup WITH document reconstruction (the
+    reference's dedup family stops at whole-doc keys; C4/RefinedWeb drop
+    repeated sentences and keep the rest of the page): every doc splits
+    into non-overlapping {SEG_W}-word segments, each distinct segment
+    keeps only its globally-first occurrence (min (doc_id, seg_idx) —
+    one `grouped_batch_map` co-locating shuffle on the segment text, one
+    vectorized sort + drop_duplicates per partition, exactly the
+    one-shuffle dedup plan of `stages/dedup.py`), and docs reassemble
+    from their surviving segments in segment order (second co-locating
+    shuffle on doc_id). A LEFT join from the map-side per-doc totals
+    keeps fully-duplicated docs in the output with clean_text='' — a
+    training pipeline must see them to log attrition. At 100 TB the
+    segment shuffle key should be md5(seg) with the text re-joined per
+    shard (SURVEY §7.4(7)); at test scale the text rides the shuffle
+    directly."""
+    from .stages.joins import safe_join
+    from .stages.partitioning import grouped_batch_map, typed_table
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def _segments(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = pc.fill_null(t["text"], "").to_pylist()
+        out_id: list = []
+        out_idx: list = []
+        out_seg: list = []
+        for did, txt in zip(ids, texts):
+            words = txt.split(" ")
+            for k in range(0, len(words), SEG_W):
+                out_id.append(int(did))
+                out_idx.append(k // SEG_W)
+                out_seg.append(" ".join(words[k:k + SEG_W]))
+        return typed_table(
+            [("doc_id", pa.int64()), ("seg_idx", pa.int64()),
+             ("seg", pa.string())],
+            doc_id=out_id, seg_idx=out_idx, seg=out_seg)
+
+    segs = docs.map_batches(_segments, batch_format="pyarrow")
+
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["seg", "doc_id", "seg_idx"], kind="mergesort")
+        return df.drop_duplicates("seg", keep="first")
+
+    kept = grouped_batch_map(segs, ["seg"], _first)
+
+    def _rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "seg_idx"], kind="mergesort")
+        g = df.groupby("doc_id", sort=True)
+        joined = g["seg"].agg(" ".join)
+        return pd.DataFrame({
+            "doc_id": joined.index.to_numpy(dtype=np.int64),
+            "clean_text": joined.to_numpy(),
+            "n_kept": g.size().to_numpy(dtype=np.int64),
+        })
+
+    rebuilt = grouped_batch_map(kept, ["doc_id"], _rebuild)
+
+    def _totals(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        nw = pc.count_substring(txt, " ").to_numpy(zero_copy_only=False) \
+               .astype(np.int64) + 1
+        return typed_table(
+            [("doc_id", pa.int64()), ("n_total", pa.int64())],
+            doc_id=t["doc_id"].to_numpy(zero_copy_only=False),
+            n_total=(nw + SEG_W - 1) // SEG_W)
+
+    totals = docs.map_batches(_totals, batch_format="pyarrow")
+    joined = safe_join(
+        totals, rebuilt, join_type="left_outer", on=("doc_id",),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("clean_text", pa.string()),
+                                ("n_kept", pa.int64())]))
+
+    def _fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_total": t["n_total"].cast(pa.int64()),
+            "clean_text": pc.fill_null(t["clean_text"].cast(pa.string()), ""),
+            "n_kept": pc.fill_null(t["n_kept"].cast(pa.int64()), 0),
+        })
+
+    return joined.map_batches(_fill, batch_format="pyarrow")
+
+
+SQL_SENTENCE_DEDUP = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(COALESCE(text, ''), ' ')) AS w,
+         unnest(range(len(string_split(COALESCE(text, ''), ' ')))) AS i
+  FROM documents),
+segs AS (SELECT doc_id, i // {SEG_W} AS seg_idx,
+                string_agg(w, ' ' ORDER BY i) AS seg
+         FROM w GROUP BY 1, 2),
+firsts AS (SELECT doc_id, seg_idx, seg
+           FROM segs
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY seg
+                                      ORDER BY doc_id, seg_idx) = 1),
+clean AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+                 COUNT(*) AS n_kept
+          FROM firsts GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_total FROM segs GROUP BY doc_id)
+SELECT t.doc_id, t.n_total, COALESCE(c.clean_text, '') AS clean_text,
+       COALESCE(c.n_kept, 0) AS n_kept
+FROM tot t LEFT JOIN clean c USING (doc_id)
+"""
+
+
+def q_embed_whiten(sf_dir: str):
+    """Per-dimension corpus standardization (feature whitening, the
+    numeric twin of `normalize_std` for the embedding column): pass 1
+    reduces each block to 64 rows of exact int sums (si, sii, n) per
+    dimension — the diagonal of `q_embed_covariance`'s partials — and
+    the driver folds the tiny (dim)-row aggregate into broadcast
+    mean/var ints; pass 2 emits long-format z-scores. The z-score is
+    scale-invariant, so it is computed entirely in quantized units and
+    the float expression ((e - si/n) / sqrt(sii/n - (si/n)²)) is the
+    single mirrored IEEE tree. Zero-variance dimensions (constant
+    columns — guaranteed reachable under the duplicate-vector fuzz) are
+    detected EXACTLY with arbitrary-precision ints on the driver
+    (n·sii == si², HUGEINT in the oracle) and emit z=0.0, dodging
+    DuckDB's 0.0/0.0→NULL vs numpy's NaN divergence."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+
+    def _quant(emb: pa.Array) -> np.ndarray:
+        dim = len(emb[0])
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+        x = flat.astype(np.float64) * COV_Q
+        return np.trunc(x + np.copysign(0.5, x)).astype(np.int64) \
+                 .reshape(-1, dim)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        if len(emb) == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "si": pa.array([], pa.int64()),
+                             "sii": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        m = _quant(emb)
+        return pa.table({
+            "dim": np.arange(m.shape[1], dtype=np.int64),
+            "si": m.sum(axis=0),
+            "sii": (m * m).sum(axis=0),
+            "n": np.full(m.shape[1], m.shape[0], dtype=np.int64),
+        })
+
+    pre = ds.map_batches(_partial, batch_format="pyarrow")
+    agg = pre.groupby("dim").aggregate(
+        Sum("si", alias_name="si"), Sum("sii", alias_name="sii"),
+        Sum("n", alias_name="n")).to_pandas().sort_values("dim")
+    if len(agg) == 0:
+        return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                             "dim": pd.Series(dtype=np.int64),
+                             "z": pd.Series(dtype=np.float64)})
+    si = agg["si"].to_numpy()
+    sii = agg["sii"].to_numpy()
+    n = agg["n"].to_numpy()
+    # exact zero-variance probe in Python ints (no int64 overflow at scale)
+    const = np.array([int(nn) * int(ss2) == int(ss) * int(ss)
+                      for ss, ss2, nn in zip(si, sii, n)], dtype=bool)
+    mu = si.astype(np.float64) / n.astype(np.float64)
+    var = sii.astype(np.float64) / n.astype(np.float64) - mu * mu
+    stats_ref = ray.put((mu, np.sqrt(var), const))
+
+    def _zscore(t: pa.Table) -> pa.Table:
+        mu_, sd_, const_ = ray.get(stats_ref)
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        if len(emb) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "z": pa.array([], pa.float64())})
+        m = _quant(emb)
+        z = (m.astype(np.float64) - mu_[None, :]) / sd_[None, :]
+        z[:, const_] = 0.0
+        nr, dim = m.shape
+        return pa.table({
+            "vec_id": np.repeat(
+                t["vec_id"].to_numpy(zero_copy_only=False), dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), nr),
+            "z": z.reshape(-1),
+        })
+
+    return ds.map_batches(_zscore, batch_format="pyarrow")
+
+
+SQL_EMBED_WHITEN = f"""
+WITH q AS (
+  SELECT vec_id,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {COV_Q}) AS BIGINT) AS e,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+s AS (SELECT dim, SUM(e) AS si, SUM(e * e) AS sii, COUNT(*) AS n
+      FROM q GROUP BY dim)
+SELECT q.vec_id, q.dim,
+       CASE WHEN s.n * s.sii = s.si * s.si THEN 0.0
+            ELSE (CAST(q.e AS DOUBLE)
+                  - CAST(s.si AS DOUBLE) / CAST(s.n AS DOUBLE))
+                 / SQRT(CAST(s.sii AS DOUBLE) / CAST(s.n AS DOUBLE)
+                        - (CAST(s.si AS DOUBLE) / CAST(s.n AS DOUBLE))
+                          * (CAST(s.si AS DOUBLE) / CAST(s.n AS DOUBLE)))
+       END AS z
+FROM q JOIN s USING (dim)
+"""
+
+
 def q_stream_dedup_count(sf_dir: str):
     """Streaming (arrival-order) dedup through the sharded-actor hash
     index (`stages/streamdedup.py`): the corpus drains batch-by-batch
@@ -6346,6 +6710,9 @@ def build_queries() -> dict:
         "semdedup": q_semdedup,
         "embed_covariance": q_embed_covariance,
         "hash_split": q_hash_split,
+        "kmeans_lloyd": q_kmeans_lloyd,
+        "sentence_dedup": q_sentence_dedup,
+        "embed_whiten": q_embed_whiten,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -6522,6 +6889,9 @@ def build_oracle_sql() -> dict:
         "revenue_share": SQL_REVENUE_SHARE,
         "embed_covariance": SQL_EMBED_COVARIANCE,
         "hash_split": SQL_HASH_SPLIT,
+        "kmeans_lloyd": _sql_kmeans_lloyd(),
+        "sentence_dedup": SQL_SENTENCE_DEDUP,
+        "embed_whiten": SQL_EMBED_WHITEN,
     }
 
 

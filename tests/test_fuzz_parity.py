@@ -37,7 +37,7 @@ DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
                "doc_chunk", "pack_linear", "source_mix", "bigram_counts",
                "token_count_regex", "lm_score",
                "gopher_filter", "c4_filter", "top_ngram_frac",
-               "dup_ngram_frac", "hash_split"]
+               "dup_ngram_frac", "hash_split", "sentence_dedup"]
 
 
 def _assert_parity(name, sf_dir, con):
@@ -118,7 +118,7 @@ def test_fuzz_doc_dedup(texts, ray_session, tmp_path_factory):
 
 
 EMB_QUERIES = ["kmeans_assign", "semdedup", "label_centroids",
-               "embed_covariance"]
+               "embed_covariance", "kmeans_lloyd", "embed_whiten"]
 
 # pool of 6 distinct 64-dim vectors with float32-exact quarter components;
 # repeated picks plant EXACT duplicate vectors (cos == 1.0) and near-ties
