@@ -6547,6 +6547,592 @@ FROM documents
 """
 
 
+DSIR_B = 256           # hashed feature buckets
+DSIR_SCALE = 1_000_000  # fixed-point ratio scale
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_weights(sf_dir: str):
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169), hashed-unigram variant: score every document by how
+    much its hashed-token distribution looks like a TARGET corpus (here the
+    ``lang='en'`` slice) versus the RAW corpus. Integer-exact substitute for
+    the paper's log-likelihood ratio, same style as `q_lm_score`: per-bucket
+    importance ratio (tgt+1)·SCALE // (raw+1) (add-one smoothing; tgt ⊆ raw
+    so ratio ≤ SCALE — no overflow), per-doc score = Σ_token ratio[bucket].
+    Plan: the (doc, bucket, multiplicity, tgt) table is built once and
+    checkpointed; pass 1 pre-combines to ≤B=256 rows per block before one
+    tiny bucket groupby (the driver pull is bounded by B, constant at any
+    corpus size); pass 2 is a broadcast np.take + one pre-combined doc
+    groupby. Two shuffles, both on compact key tables — never on text."""
+    from ray.data.aggregate import Sum
+
+    from .functions.dedup import MD5_HEX
+    from .stages.partitioning import checkpoint, scrub_empty_blocks
+
+    ds = _docs(sf_dir, cols=("doc_id", "text", "lang"))
+
+    def _buckets(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        tgt = np.repeat(
+            pc.equal(t["lang"], DSIR_TARGET_LANG).to_numpy(
+                zero_copy_only=False).astype(np.int64), lens)
+        flat = pc.list_flatten(toks).to_pandas()
+        # md5 only the distinct terms of the batch, then scatter
+        codes, uniq = pd.factorize(flat)
+        ub = np.array(
+            [int(hashlib.md5(u.encode()).hexdigest()[:MD5_HEX], 16) % DSIR_B
+             for u in uniq], dtype=np.int64)
+        df = pd.DataFrame({"doc_id": doc, "bucket": ub[codes],
+                           "tgt": tgt, "m": np.int64(1)})
+        g = df.groupby(["doc_id", "bucket", "tgt"], sort=False,
+                       as_index=False)["m"].sum()
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "bucket": pa.array(g["bucket"].to_numpy(), pa.int64()),
+            "tgt": pa.array(g["tgt"].to_numpy(), pa.int64()),
+            "m": pa.array(g["m"].to_numpy(), pa.int64())})
+
+    mult = scrub_empty_blocks(checkpoint(
+        ds.map_batches(_buckets, batch_format="pyarrow"), "dsir_buckets"))
+
+    def _bucket_partial(t: pa.Table) -> pa.Table:
+        m = t["m"].to_numpy(zero_copy_only=False)
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        w = m * t["tgt"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(np.arange(DSIR_B), pa.int64()),
+            "raw_n": pa.array(np.bincount(b, weights=m, minlength=DSIR_B)
+                              .astype(np.int64), pa.int64()),
+            "tgt_n": pa.array(np.bincount(b, weights=w, minlength=DSIR_B)
+                              .astype(np.int64), pa.int64())})
+
+    counts = mult.map_batches(_bucket_partial, batch_format="pyarrow") \
+                 .groupby("bucket") \
+                 .aggregate(Sum("raw_n", alias_name="raw_n"),
+                            Sum("tgt_n", alias_name="tgt_n")).to_pandas()
+    ratio = np.full(DSIR_B, DSIR_SCALE, dtype=np.int64)  # unseen buckets
+    bi = counts["bucket"].to_numpy().astype(np.int64)
+    ratio[bi] = ((counts["tgt_n"].to_numpy().astype(np.int64) + 1)
+                 * DSIR_SCALE
+                 // (counts["raw_n"].to_numpy().astype(np.int64) + 1))
+    ratio_ref = ray.put(ratio)
+
+    def _doc_partial(t: pa.Table) -> pa.Table:
+        r = ray.get(ratio_ref)
+        m = t["m"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "dsir_sum": m * r[t["bucket"].to_numpy(zero_copy_only=False)],
+            "n_tokens": m})
+        return pa.Table.from_pandas(
+            df.groupby("doc_id", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    pre = mult.map_batches(_doc_partial, batch_format="pyarrow")
+    agg = pre.groupby("doc_id", num_partitions=pick_partitions(pre)) \
+             .aggregate(Sum("dsir_sum", alias_name="dsir_sum"),
+                        Sum("n_tokens", alias_name="n_tokens"))
+
+    def _weight(df: pd.DataFrame) -> pd.DataFrame:
+        df["dsir_weight"] = (df["dsir_sum"].to_numpy().astype(np.float64)
+                             / (df["n_tokens"].to_numpy()
+                                * DSIR_SCALE).astype(np.float64))
+        return df[["doc_id", "n_tokens", "dsir_sum", "dsir_weight"]]
+
+    from .stages.partitioning import schema_floor
+
+    return schema_floor(
+        agg.map_batches(_weight, batch_format="pandas"),
+        pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                      "n_tokens": pd.Series(dtype=np.int64),
+                      "dsir_sum": pd.Series(dtype=np.int64),
+                      "dsir_weight": pd.Series(dtype=np.float64)}))
+
+
+def _sql_dsir_weights() -> str:
+    from .functions.dedup import md5_int_sql
+
+    tok_hash = md5_int_sql("unnest(string_split(text, ' '))")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, {tok_hash}
+         % {DSIR_B} AS bucket
+  FROM documents),
+cb AS (
+  SELECT bucket, COUNT(*) AS raw_n,
+         COUNT(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS tgt_n
+  FROM toks GROUP BY bucket),
+r AS (SELECT bucket, (tgt_n + 1) * {DSIR_SCALE} // (raw_n + 1) AS ratio
+      FROM cb)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(ratio) AS BIGINT) AS dsir_sum,
+       CAST(SUM(ratio) AS DOUBLE)
+       / CAST(COUNT(*) * {DSIR_SCALE} AS DOUBLE) AS dsir_weight
+FROM toks JOIN r USING (bucket)
+GROUP BY doc_id
+"""
+
+
+SNAP_OLD_MOD = 7   # doc absent from the OLD snapshot when doc_id % 7 == 0
+SNAP_NEW_MOD = 5   # doc absent from the NEW snapshot when doc_id % 5 == 0
+SNAP_EDIT_MOD = 3  # NEW-snapshot content edited when doc_id % 3 == 0
+
+
+def q_snapshot_delta(sf_dir: str):
+    """Cross-snapshot CDC diff — the incremental-recrawl primitive: two
+    crawl snapshots of the same keyspace are compared by content
+    fingerprint and every key is classified added / removed / changed /
+    unchanged. Snapshots are derived deterministically from `documents`
+    (OLD drops doc_id%7==0, NEW drops doc_id%5==0 and edits doc_id%3==0),
+    so the oracle sees the identical inputs. Plan: ONE pruned read fans
+    into both snapshot filters; only (doc_id, md5) key pairs — never text —
+    cross the FULL OUTER hash join; classification is a vectorized
+    per-batch map. At 100 TB this is the shape of a daily-delta job: the
+    shuffle payload is 2 columns regardless of document size."""
+    ds = _docs(sf_dir)
+
+    def _old(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % SNAP_OLD_MOD != 0))
+        fp = [hashlib.md5(v.encode()).hexdigest()
+              for v in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "fp_old": pa.array(fp, pa.string())})
+
+    def _new(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % SNAP_NEW_MOD != 0))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        fp = [hashlib.md5((v + " v2").encode()).hexdigest()
+              if i % SNAP_EDIT_MOD == 0
+              else hashlib.md5(v.encode()).hexdigest()
+              for i, v in zip(ids, t["text"].to_pylist())]
+        return pa.table({"new_id": pa.array(ids, pa.int64()),
+                         "fp_new": pa.array(fp, pa.string())})
+
+    from .stages.joins import safe_join
+
+    old = ds.map_batches(_old, batch_format="pyarrow")
+    new = ds.map_batches(_new, batch_format="pyarrow")
+    joined = safe_join(
+        old, new, join_type="full_outer",
+        on=("doc_id",), right_on=("new_id",),
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("fp_old", pa.string())]),
+        right_schema=pa.schema([("new_id", pa.int64()),
+                                ("fp_new", pa.string())]))
+
+    def _classify(df: pd.DataFrame) -> pd.DataFrame:
+        has_old = df["fp_old"].notna().to_numpy()
+        has_new = df["fp_new"].notna().to_numpy()
+        status = np.where(
+            ~has_old, "added",
+            np.where(~has_new, "removed",
+                     np.where(df["fp_old"].to_numpy()
+                              != df["fp_new"].to_numpy(),
+                              "changed", "unchanged")))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+            "status": status})
+
+    from .stages.partitioning import schema_floor
+
+    return schema_floor(
+        joined.map_batches(_classify, batch_format="pandas"),
+        pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                      "status": pd.Series(dtype=object)}))
+
+
+SQL_SNAPSHOT_DELTA = f"""
+WITH oldt AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+  WHERE doc_id % {SNAP_OLD_MOD} <> 0),
+newt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {SNAP_EDIT_MOD} = 0 THEN md5(text || ' v2')
+              ELSE md5(text) END AS fp
+  FROM documents WHERE doc_id % {SNAP_NEW_MOD} <> 0)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM oldt o FULL JOIN newt n ON o.doc_id = n.doc_id
+"""
+
+
+def q_normalize_mad(sf_dir: str):
+    """Per-group ROBUST standardization (median/MAD z-score) of document
+    length per language — the outlier-insensitive twin of `normalize_std`.
+    Exact at any scale without co-locating a group: because the metric is a
+    bounded-cardinality integer, the plan reduces each block to a (lang,
+    n_chars, count) histogram, shuffles only distinct (group, value) pairs,
+    and the driver extracts median AND median-absolute-deviation from the
+    same tiny histogram with rational arithmetic (Fractions — medians of
+    ints are halves, MADs quarters, all exactly representable doubles, so
+    the DuckDB twin matches bit-for-bit). Pass 2 is a broadcast lookup.
+    Zero-MAD groups emit z=0.0 on both engines."""
+    from fractions import Fraction
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, cols=("doc_id", "lang", "n_chars"))
+
+    def _hist(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_pandas(),
+            "n_chars": t["n_chars"].to_numpy(zero_copy_only=False),
+            "cnt": np.int64(1)})
+        g = df.groupby(["lang", "n_chars"], sort=False,
+                       as_index=False)["cnt"].sum()
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "n_chars": pa.array(g["n_chars"].to_numpy(),
+                                             pa.int64()),
+                         "cnt": pa.array(g["cnt"].to_numpy(), pa.int64())})
+
+    hist = ds.map_batches(_hist, batch_format="pyarrow") \
+             .groupby(["lang", "n_chars"]) \
+             .aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+
+    def _median_from_hist(vals: np.ndarray, cnts: np.ndarray) -> Fraction:
+        order = np.argsort(vals, kind="mergesort")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        lo_i = int(np.searchsorted(cum, (n - 1) // 2 + 1))
+        hi_i = int(np.searchsorted(cum, n // 2 + 1))
+        return Fraction(int(vals[lo_i]) + int(vals[hi_i]), 2)
+
+    params: dict[str, tuple[float, float]] = {}
+    for lang, grp in hist.groupby("lang", sort=False):
+        v = grp["n_chars"].to_numpy().astype(np.int64)
+        c = grp["cnt"].to_numpy().astype(np.int64)
+        med = _median_from_hist(v, c)
+        # |x - med| in quarter-units so the deviation stays integral
+        dev4 = np.abs(4 * v - int(4 * med))
+        dd = pd.DataFrame({"d": dev4, "c": c}).groupby(
+            "d", as_index=False)["c"].sum()
+        mad = _median_from_hist(dd["d"].to_numpy(), dd["c"].to_numpy()) / 4
+        params[str(lang)] = (float(med), float(mad))
+    params_ref = ray.put(params)
+
+    def _zscore(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(params_ref)
+        med = df["lang"].map({k: v[0] for k, v in p.items()}).to_numpy()
+        mad = df["lang"].map({k: v[1] for k, v in p.items()}).to_numpy()
+        x = df["n_chars"].to_numpy().astype(np.float64)
+        z = np.where(mad == 0.0, 0.0, (x - med) / np.where(mad == 0, 1, mad))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "lang": df["lang"],
+                             "n_chars": df["n_chars"].to_numpy(),
+                             "robust_z": z})
+
+    return ds.map_batches(_zscore, batch_format="pandas")
+
+
+SQL_NORMALIZE_MAD = """
+WITH med AS (SELECT lang, median(n_chars) AS med FROM documents GROUP BY lang),
+dev AS (
+  SELECT d.doc_id, d.lang, d.n_chars, m.med,
+         ABS(d.n_chars - m.med) AS ad
+  FROM documents d JOIN med m USING (lang)),
+madt AS (SELECT lang, median(ad) AS mad FROM dev GROUP BY lang)
+SELECT dev.doc_id, dev.lang, dev.n_chars,
+       CASE WHEN madt.mad = 0 THEN 0.0
+            ELSE (dev.n_chars - dev.med) / madt.mad END AS robust_z
+FROM dev JOIN madt USING (lang)
+"""
+
+
+TOKEN_BUDGET = 1500   # per-source token budget for the mixture realization
+SALT_MIX = 11000      # hmix salt for the budget-mix pseudo-random order
+
+
+def q_token_budget_mix(sf_dir: str):
+    """Mixture REALIZATION to a token budget: given per-source sampling
+    order, keep documents from each source — in a deterministic
+    pseudo-random order — until that source's token budget is exhausted
+    (the doc that crosses the line is kept, like bin 0 of `q_pack_linear`).
+    This is the step after `q_source_mix` computes WEIGHTS: actually
+    materializing "N billion tokens of source X". Order key is
+    hmix(doc_id)·2³¹ + doc_id — unique per doc, uniform, identical in SQL —
+    so membership is reproducible at any parallelism. The grouped running
+    total is the two-pass distributed scan (`stages/scan.py`): nothing
+    corpus-sized reaches the driver, hot sources spread over many
+    reducers."""
+    from .functions.text import token_count
+    from .stages.scan import grouped_prefix_sum
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rk = hmix(ids, SALT_MIX) * np.int64(2**31) + ids % np.int64(2**31)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": t["source"],
+            "ntok": token_count(t["text"]),
+            "rk": pa.array(rk, pa.int64())})
+
+    scanned = grouped_prefix_sum(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        "source", "rk", "ntok", out_col="__pre")
+
+    def _keep(t: pa.Table) -> pa.Table:
+        pre = t["__pre"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(pre < TOKEN_BUDGET)) \
+                .select(["doc_id", "source", "ntok"])
+
+    return scanned.map_batches(_keep, batch_format="pyarrow")
+
+
+def _sql_token_budget_mix() -> str:
+    from .functions.text import token_count_sql
+
+    rk = f"({hmix_sql('doc_id', SALT_MIX)} * 2147483648 + doc_id % 2147483648)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {token_count_sql('text')} AS ntok, {rk} AS rk
+  FROM documents),
+scanned AS (
+  SELECT doc_id, source, ntok,
+         COALESCE(SUM(ntok) OVER (PARTITION BY source ORDER BY rk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS pre
+  FROM base)
+SELECT doc_id, source, ntok FROM scanned WHERE pre < {TOKEN_BUDGET}
+"""
+
+
+BPE_TOP_K = 20  # merge candidates returned per BPE counting round
+
+
+def q_bpe_pairs(sf_dir: str):
+    """Tokenizer training, step 1 (BPE merge-candidate counting, Sennrich
+    et al. 2016): count adjacent CHARACTER pairs inside whitespace tokens
+    across the corpus and return the top-K most frequent pairs (count
+    desc, pair asc — the deterministic first-merge candidates). Plan: per
+    batch the pair counting runs over the DISTINCT tokens only (factorize,
+    then scatter by multiplicity — web token frequency is Zipfian, so this
+    is ~20× fewer md5-free char loops than per-occurrence), pre-combined
+    to a (pair, n) table before ONE tiny groupby — pair cardinality is
+    bounded by charset², independent of corpus size, so the driver pull
+    and the top-K sort are O(|alphabet|²) at any scale."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, cols=("text",))
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t["text"], " ")).to_pandas()
+        codes, uniq = pd.factorize(flat)
+        mult = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        acc: Counter = Counter()
+        for u, m in zip(uniq, mult):
+            for i in range(len(u) - 1):
+                acc[u[i:i + 2]] += int(m)
+        return pa.table({
+            "pair": pa.array(list(acc.keys()), pa.string()),
+            "n": pa.array(list(acc.values()), pa.int64())})
+
+    agg = ds.map_batches(_pairs, batch_format="pyarrow") \
+            .groupby("pair").aggregate(Sum("n", alias_name="n")).to_pandas()
+    agg = agg.sort_values(["n", "pair"], ascending=[False, True],
+                          kind="mergesort").head(BPE_TOP_K)
+    return agg.reset_index(drop=True)
+
+
+SQL_BPE_PAIRS = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+pairs AS (
+  SELECT substr(w, CAST(unnest(range(1, length(w))) AS INT), 2) AS pair
+  FROM toks)
+SELECT pair, COUNT(*) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {BPE_TOP_K}
+"""
+
+
+def q_postings(sf_dir: str):
+    """Inverted-index build: term → document frequency + the sorted
+    comma-joined doc_id postings list — the search-index construction
+    sweep over a crawl. Plan: each document lives in exactly one input
+    row, so per-batch (doc_id, term) dedup IS global dedup — only compact
+    key pairs (never text) cross the single term-hash shuffle; per
+    partition the postings strings are built with zero per-group Python
+    (mergesort + run-length offsets → Arrow ListArray → one
+    `pc.binary_join` C kernel, same kernel as `q_string_agg_sorted`)."""
+    from .stages.partitioning import grouped_batch_map
+
+    ds = _docs(sf_dir)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "term": pc.list_flatten(toks).to_pandas(),
+            "doc_id": np.repeat(
+                t["doc_id"].to_numpy(zero_copy_only=False), lens),
+        }).drop_duplicates()
+        return pa.table({"term": pa.array(df["term"], pa.string()),
+                         "doc_id": pa.array(df["doc_id"].to_numpy(),
+                                            pa.int64())})
+
+    pairs = ds.map_batches(_explode, batch_format="pyarrow")
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "doc_id"],
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if not n:
+            return pd.DataFrame({"term": pd.Series(dtype=object),
+                                 "df": pd.Series(dtype=np.int64),
+                                 "postings": pd.Series(dtype=object)})
+        term = df["term"].to_numpy()
+        new_t = np.r_[True, term[1:] != term[:-1]]
+        starts = np.nonzero(new_t)[0]
+        offsets = np.r_[starts, n].astype(np.int32)
+        ids = pa.array(df["doc_id"].astype(str), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), ids)
+        return pd.DataFrame({
+            "term": term[starts],
+            "df": np.diff(offsets).astype(np.int64),
+            "postings": pc.binary_join(lists, ",").to_pandas()})
+
+    return grouped_batch_map(pairs, ["term"], _agg)
+
+
+SQL_POSTINGS = """
+WITH pairs AS (
+  SELECT DISTINCT * FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents))
+SELECT term, COUNT(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY term
+"""
+
+
+def q_text_canon(sf_dir: str):
+    """Text canonicalization before dedup: collapse space runs, trim,
+    lowercase — then fingerprint the canonical form (the key actually used
+    by near-identical-content dedup in web pipelines, where trivial
+    whitespace/case diffs defeat raw-md5 dedup). All three normalizations
+    are single Arrow C kernels (`replace_substring_regex`, `utf8_trim`,
+    `utf8_lower`) — zero Python in the text path; only the md5 digest is a
+    per-value call (hashlib C loop over the already-canonical strings)."""
+    ds = _docs(sf_dir)
+
+    def _canon(t: pa.Table) -> pa.Table:
+        canon = pc.utf8_lower(pc.utf8_trim(
+            pc.replace_substring_regex(t["text"], " +", " "), " "))
+        fp = [hashlib.md5(v.encode()).hexdigest() for v in canon.to_pylist()]
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "canon": canon,
+                         "canon_fp": pa.array(fp, pa.string())})
+
+    return ds.map_batches(_canon, batch_format="pyarrow")
+
+
+SQL_TEXT_CANON = """
+SELECT doc_id,
+       lower(trim(regexp_replace(text, ' +', ' ', 'g'), ' ')) AS canon,
+       md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'), ' '))) AS canon_fp
+FROM documents
+"""
+
+
+def q_hits(sf_dir: str):
+    """HITS authority scores (Kleinberg 1999) over the bipartite
+    part↔supplier co-purchase graph, two unrolled bulk-synchronous rounds
+    with all-integer arithmetic so the SQL twin is bit-exact: h₀=1 →
+    a₁(s)=indegree → h₁(p)=Σ a₁ over p's edges → auth(s)=Σ h₁. Each round
+    is one hash join (compact key tables, payload-free) + one pre-combined
+    Sum groupby — the same BSP shape as `q_pagerank`, no driver-side graph
+    state. Int64 bound: the 2-round product of max degrees must fit 2⁶³
+    (true to ~10⁹ edges); a production run at deeper rounds would switch
+    to per-round float normalization."""
+    from ray.data.aggregate import Sum
+
+    from .stages.partitioning import checkpoint, scrub_empty_blocks
+
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+
+    def _edges(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p": t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "s": t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "m": np.int64(1)})
+        g = df.groupby(["p", "s"], sort=False, as_index=False)["m"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    e = checkpoint(scrub_empty_blocks(
+        li.map_batches(_edges, batch_format="pyarrow")), "hits_edges")
+
+    def _a1_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"s": t["s"].to_numpy(zero_copy_only=False),
+                           "a": t["m"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("s", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    pre_a1 = e.map_batches(_a1_partial, batch_format="pyarrow")
+    a1 = scrub_empty_blocks(
+        pre_a1.groupby("s", num_partitions=pick_partitions(pre_a1))
+              .aggregate(Sum("a", alias_name="a")))
+
+    eh = e.join(a1, join_type="inner",
+                num_partitions=pick_partitions(e, a1), on=("s",))
+
+    def _h1_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p": t["p"].to_numpy(zero_copy_only=False),
+            "h": t["m"].to_numpy(zero_copy_only=False)
+                 * t["a"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("p", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    pre_h1 = eh.map_batches(_h1_partial, batch_format="pyarrow")
+    h1 = scrub_empty_blocks(
+        pre_h1.groupby("p", num_partitions=pick_partitions(pre_h1))
+              .aggregate(Sum("h", alias_name="h")))
+
+    ea = e.join(h1, join_type="inner",
+                num_partitions=pick_partitions(e, h1), on=("p",))
+
+    def _auth_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "suppkey": t["s"].to_numpy(zero_copy_only=False),
+            "auth": t["m"].to_numpy(zero_copy_only=False)
+                    * t["h"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("suppkey", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    pre_auth = ea.map_batches(_auth_partial, batch_format="pyarrow")
+    return pre_auth.groupby(
+        "suppkey", num_partitions=pick_partitions(pre_auth)
+    ).aggregate(Sum("auth", alias_name="auth"))
+
+
+SQL_HITS = """
+WITH e AS (SELECT l_partkey AS p, l_suppkey AS s, COUNT(*) AS m
+           FROM lineitem GROUP BY p, s),
+a1 AS (SELECT s, SUM(m) AS a FROM e GROUP BY s),
+h1 AS (SELECT p, SUM(m * a) AS h FROM e JOIN a1 USING (s) GROUP BY p),
+a2 AS (SELECT s, SUM(m * h) AS auth FROM e JOIN h1 USING (p) GROUP BY s)
+SELECT s AS suppkey, auth FROM a2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sampler pipelines (seeded/iterative — rows-only checks; conformance is
 # asserted by pytest per the reference's own test strategy, SURVEY.md §5)
@@ -6713,6 +7299,14 @@ def build_queries() -> dict:
         "kmeans_lloyd": q_kmeans_lloyd,
         "sentence_dedup": q_sentence_dedup,
         "embed_whiten": q_embed_whiten,
+        "dsir_weights": q_dsir_weights,
+        "snapshot_delta": q_snapshot_delta,
+        "normalize_mad": q_normalize_mad,
+        "token_budget_mix": q_token_budget_mix,
+        "bpe_pairs": q_bpe_pairs,
+        "postings": q_postings,
+        "text_canon": q_text_canon,
+        "hits": q_hits,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -6892,6 +7486,14 @@ def build_oracle_sql() -> dict:
         "kmeans_lloyd": _sql_kmeans_lloyd(),
         "sentence_dedup": SQL_SENTENCE_DEDUP,
         "embed_whiten": SQL_EMBED_WHITEN,
+        "dsir_weights": _sql_dsir_weights(),
+        "snapshot_delta": SQL_SNAPSHOT_DELTA,
+        "normalize_mad": SQL_NORMALIZE_MAD,
+        "token_budget_mix": _sql_token_budget_mix(),
+        "bpe_pairs": SQL_BPE_PAIRS,
+        "postings": SQL_POSTINGS,
+        "text_canon": SQL_TEXT_CANON,
+        "hits": SQL_HITS,
     }
 
 

@@ -37,7 +37,9 @@ DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
                "doc_chunk", "pack_linear", "source_mix", "bigram_counts",
                "token_count_regex", "lm_score",
                "gopher_filter", "c4_filter", "top_ngram_frac",
-               "dup_ngram_frac", "hash_split", "sentence_dedup"]
+               "dup_ngram_frac", "hash_split", "sentence_dedup",
+               "dsir_weights", "snapshot_delta", "normalize_mad",
+               "token_budget_mix", "bpe_pairs", "postings", "text_canon"]
 
 
 def _assert_parity(name, sf_dir, con):
@@ -107,7 +109,9 @@ def test_fuzz_doc_dedup(texts, ray_session, tmp_path_factory):
         "text": texts,
         "source": ["s0" if i % 2 else "s1" for i in range(len(texts))],
         "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
-        "lang": ["en"] * len(texts),
+        # mixed languages: exercises DSIR's target/raw split and the
+        # per-lang median/MAD grouping (incl. single-row groups)
+        "lang": ["en" if i % 3 else "fr" for i in range(len(texts))],
     })
     docs.to_parquet(d / "documents.parquet", index=False)
     con = duckdb.connect()
@@ -158,7 +162,7 @@ def test_fuzz_embedding_ops(picks, ray_session, tmp_path_factory):
 
 
 JOIN_QUERIES = ["left_join", "full_join", "semi_join_shuffle",
-                "tpch_q3", "tpch_q12"]
+                "tpch_q3", "tpch_q12", "hits"]
 
 # order rows straddle HIGH_ORDER_PRICE / Q3 / Q12 windows so every filter
 # can come up empty, partially empty, or full — the shapes that exercise
@@ -212,6 +216,9 @@ def test_fuzz_join_family(orders, lines, segs, ray_session,
         "l_quantity": np.array([r[3] for r in lines]),
         "l_extendedprice": np.array([r[4] for r in lines]),
         "l_discount": np.array([r[5] for r in lines]),
+        # tiny part/supplier keyspace: multi-edges + hub nodes for hits
+        "l_partkey": np.array([r[0] % 3 for r in lines], dtype=np.int64),
+        "l_suppkey": np.array([r[0] % 2 for r in lines], dtype=np.int64),
     }).to_parquet(d / "lineitem.parquet", index=False)
     con = duckdb.connect()
     for t in ("customer", "orders", "lineitem"):
