@@ -185,6 +185,60 @@ def big_throughput() -> dict:
     t1 = time.perf_counter()
     nd = dedup_pipeline().count()
     dsec = time.perf_counter() - t1
+
+    # third big leg: inverted-index build (postings) — the explode-heavy
+    # shuffle shape of the round-4 wave: text → (term, doc_id) pairs (many
+    # rows per doc) → term-hash shuffle → run-length string_agg kernel.
+    # Stresses the exchange with EXPANDED row counts, unlike dedup's
+    # one-row-per-doc shuffle.
+    def postings_pipeline():
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pacasam_ray.stages.partitioning import grouped_batch_map
+
+        ds = ray.data.read_parquet(big_dir, columns=["doc_id", "text"])
+
+        def _explode(t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(t["text"], " ")
+            lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            df = pd.DataFrame({
+                "term": pc.list_flatten(toks).to_pandas(),
+                "doc_id": np.repeat(
+                    t["doc_id"].to_numpy(zero_copy_only=False), lens),
+            }).drop_duplicates()
+            return pa.table({"term": pa.array(df["term"], pa.string()),
+                             "doc_id": pa.array(df["doc_id"].to_numpy(),
+                                                pa.int64())})
+
+        pairs = ds.map_batches(_explode, batch_format="pyarrow")
+
+        def _agg(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["term", "doc_id"],
+                                kind="mergesort").reset_index(drop=True)
+            n_ = len(df)
+            if not n_:
+                return pd.DataFrame({"term": pd.Series(dtype=object),
+                                     "df": pd.Series(dtype=np.int64)})
+            term = df["term"].to_numpy()
+            starts = np.nonzero(np.r_[True, term[1:] != term[:-1]])[0]
+            offsets = np.r_[starts, n_].astype(np.int32)
+            ids = pa.array(df["doc_id"].astype(str), pa.string())
+            lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                             ids)
+            return pd.DataFrame({
+                "term": term[starts],
+                "df": np.diff(offsets).astype(np.int64),
+                "postings": pc.binary_join(lists, ",").to_pandas()})
+
+        return grouped_batch_map(pairs, ["term"], _agg)
+
+    postings_pipeline().count()  # warm (untimed)
+    t2 = time.perf_counter()
+    np_rows = postings_pipeline().count()
+    psec = time.perf_counter() - t2
     return {
         "big_n_docs": n,
         "big_headline_sec": round(sec, 3),
@@ -192,6 +246,9 @@ def big_throughput() -> dict:
         "big_dedup_rows": nd,
         "big_dedup_sec": round(dsec, 3),
         "big_dedup_docs_per_sec": round(n / dsec, 1),
+        "big_postings_terms": np_rows,
+        "big_postings_sec": round(psec, 3),
+        "big_postings_docs_per_sec": round(n / psec, 1),
     }
 
 

@@ -100,14 +100,18 @@ def explode_ngrams(ds, n: int = 3, text_col: str = "text", id_col: str = "doc_id
             gs = word_ngrams(txt, n)
             ids.extend([did] * len(gs))
             grams.extend(gs)
-        return pa.table({id_col: pa.array(ids, pa.int64()), "gram": pa.array(grams)})
+        # typed: an all-tiny-docs block yields empty lists, and untyped
+        # pa.array([]) infers null — poisoning downstream join schemas
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "gram": pa.array(grams, pa.string())})
 
     return ds.map_batches(_explode, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(ds, n: int = 3, tau: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        max_doc_freq: int | None = None):
+                        max_doc_freq: int | None = None,
+                        score: str = "jaccard"):
     """Exact n-gram Jaccard similarity join, fully distributed:
 
       shingles → groupby(gram): emit candidate pairs (the inverted-index
@@ -174,6 +178,8 @@ def ngram_jaccard_pairs(ds, n: int = 3, tau: float = 0.5,
             return t.rename_columns([name if c == id_col else c for c in t.column_names])
         return _f
 
+    from ..stages.joins import safe_join
+
     ga = grams.map_batches(_as("doc_a"), batch_format="pyarrow")
     gb = grams.map_batches(_as("doc_b"), batch_format="pyarrow")
     # Inverted-index self-join on the gram (vectorized hash join — a
@@ -181,8 +187,13 @@ def ngram_jaccard_pairs(ds, n: int = 3, tau: float = 0.5,
     # A gram shared by g docs yields g² joined rows — at 100 TB scale
     # stop-grams above a document-frequency cap must be dropped, which we
     # deliberately do NOT do here to keep oracle-exact semantics.
-    pairs = ga.join(gb, join_type="inner",
-                    num_partitions=pick_partitions(ga, gb), on=("gram",))
+    # safe_join throughout: a tiny-doc corpus (every doc < n tokens) makes
+    # the gram table ENTIRELY empty, and Ray's hash-shuffle join never
+    # sees a schema for it (fuzz find, round 4).
+    _ga_s = pa.schema([("doc_a", pa.int64()), ("gram", pa.string())])
+    _gb_s = pa.schema([("doc_b", pa.int64()), ("gram", pa.string())])
+    pairs = safe_join(ga, gb, join_type="inner", on=("gram",),
+                      left_schema=_ga_s, right_schema=_gb_s)
     pairs = pairs.map_batches(
         lambda t: t.filter(pc.less(t["doc_a"], t["doc_b"])).select(["doc_a", "doc_b"]),
         batch_format="pyarrow",
@@ -194,27 +205,39 @@ def ngram_jaccard_pairs(ds, n: int = 3, tau: float = 0.5,
         .aggregate(Count(alias_name="na"))
     sb = grams.groupby(id_col, num_partitions=pick_partitions(grams)) \
         .aggregate(Count(alias_name="nb"))
-    nparts = pick_partitions(grams)
-    j = inter.join(
-        sa, join_type="inner", num_partitions=nparts, on=("doc_a",), right_on=(id_col,)
-    ).join(sb, join_type="inner", num_partitions=nparts, on=("doc_b",), right_on=(id_col,))
+    _inter_s = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                          ("inter", pa.int64())])
+    _sa_s = pa.schema([(id_col, pa.int64()), ("na", pa.int64())])
+    _sb_s = pa.schema([(id_col, pa.int64()), ("nb", pa.int64())])
+    j = safe_join(inter, sa, join_type="inner", on=("doc_a",),
+                  right_on=(id_col,), left_schema=_inter_s,
+                  right_schema=_sa_s)
+    j = safe_join(j, sb, join_type="inner", on=("doc_b",),
+                  right_on=(id_col,),
+                  left_schema=pa.schema(list(_inter_s) + [pa.field("na", pa.int64())]),
+                  right_schema=_sb_s)
 
-    def _jaccard(t: pa.Table) -> pa.Table:
+    def _score(t: pa.Table) -> pa.Table:
         i = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
         na = t["na"].to_numpy(zero_copy_only=False).astype(np.float64)
         nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
-        jac = i / (na + nb - i)
+        # containment i/min(na,nb) catches a short doc swallowed by a long
+        # one (quote farms, boilerplate wrappers) that Jaccard's union
+        # denominator dilutes below any usable threshold.
+        v = i / np.minimum(na, nb) if score == "containment" \
+            else i / (na + nb - i)
         out = pa.table({
-            "doc_a": t["doc_a"], "doc_b": t["doc_b"], "jaccard": pa.array(jac),
+            "doc_a": t["doc_a"], "doc_b": t["doc_b"], score: pa.array(v),
         })
-        return out.filter(pa.compute.greater_equal(out["jaccard"], tau))
+        return out.filter(pa.compute.greater_equal(out[score], tau))
 
-    return j.map_batches(_jaccard, batch_format="pyarrow")
+    return j.map_batches(_score, batch_format="pyarrow")
 
 
 def ngram_jaccard_sql(table: str, n: int = 3, tau: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id",
-                      max_doc_freq: int | None = None) -> str:
+                      max_doc_freq: int | None = None,
+                      score: str = "jaccard") -> str:
     gram = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
     cap_cte = ""
     if max_doc_freq is not None:
@@ -227,6 +250,9 @@ grams AS (SELECT all_grams.* FROM all_grams JOIN kept USING (g)),"""
         cap_cte = f"""
 grams AS (SELECT DISTINCT {id_col}, {gram} AS g
           FROM toks, UNNEST(generate_series(1, len(w) - {n - 1})) AS t(i)),"""
+    expr = ("CAST(inter AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE)"
+            if score == "containment"
+            else "CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)")
     return f"""
 WITH toks AS (SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}),{cap_cte}
 sizes AS (SELECT {id_col}, COUNT(*) AS n FROM grams GROUP BY 1),
@@ -234,9 +260,9 @@ pairs AS (SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, COUNT(*) AS inter
           FROM grams a JOIN grams b USING (g)
           WHERE a.{id_col} < b.{id_col} GROUP BY 1, 2)
 SELECT doc_a, doc_b,
-       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+       {expr} AS {score}
 FROM pairs JOIN sizes sa ON doc_a = sa.{id_col} JOIN sizes sb ON doc_b = sb.{id_col}
-WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= {tau!r}
+WHERE {expr} >= {tau!r}
 """
 
 

@@ -1573,14 +1573,26 @@ JACCARD_TAU = 0.5
 HAMMING_D = 3
 
 
+def _pairs_floor(ds, score_col: str):
+    """Typed empty result for the n-gram pair-join family (a corpus of
+    all-short docs produces zero grams, zero pairs — and a col-less
+    frame would fail any schema check)."""
+    from .stages.partitioning import schema_floor
+
+    return schema_floor(ds, pd.DataFrame({
+        "doc_a": pd.Series(dtype=np.int64),
+        "doc_b": pd.Series(dtype=np.int64),
+        score_col: pd.Series(dtype=np.float64)}))
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Exact word-3-gram Jaccard similarity join (inverted-index shuffle)."""
     from .functions.dedup import ngram_jaccard_pairs
 
     out = ngram_jaccard_pairs(_docs(sf_dir), n=3, tau=JACCARD_TAU)
-    return out.map_batches(
+    return _pairs_floor(out.map_batches(
         lambda t: t.select(["doc_a", "doc_b", "jaccard"]), batch_format="pyarrow"
-    )
+    ), "jaccard")
 
 
 NGRAM_DF_CAP = 25
@@ -1595,9 +1607,9 @@ def q_ngram_jaccard_capped(sf_dir: str):
 
     out = ngram_jaccard_pairs(_docs(sf_dir), n=3, tau=JACCARD_TAU,
                               max_doc_freq=NGRAM_DF_CAP)
-    return out.map_batches(
+    return _pairs_floor(out.map_batches(
         lambda t: t.select(["doc_a", "doc_b", "jaccard"]), batch_format="pyarrow"
-    )
+    ), "jaccard")
 
 
 def q_simhash(sf_dir: str):
@@ -6940,8 +6952,13 @@ def q_bpe_pairs(sf_dir: str):
             "pair": pa.array(list(acc.keys()), pa.string()),
             "n": pa.array(list(acc.values()), pa.int64())})
 
-    agg = ds.map_batches(_pairs, batch_format="pyarrow") \
-            .groupby("pair").aggregate(Sum("n", alias_name="n")).to_pandas()
+    from .stages.partitioning import scrub_empty_blocks
+
+    pre = scrub_empty_blocks(ds.map_batches(_pairs, batch_format="pyarrow"))
+    agg = pre.groupby("pair").aggregate(Sum("n", alias_name="n")).to_pandas()
+    if "pair" not in agg.columns:  # all-single-char corpus: zero pairs
+        agg = pd.DataFrame({"pair": pd.Series(dtype=object),
+                            "n": pd.Series(dtype=np.int64)})
     agg = agg.sort_values(["n", "pair"], ascending=[False, True],
                           kind="mergesort").head(BPE_TOP_K)
     return agg.reset_index(drop=True)
@@ -7133,6 +7150,696 @@ SELECT s AS suppkey, auth FROM a2
 """
 
 
+SKIPGRAM_WINDOW = 2  # ordered (center, context) pairs up to 2 tokens right
+
+
+def q_skipgram_counts(sf_dir: str):
+    """Skip-gram co-occurrence counting (word2vec/GloVe training-pair
+    construction, Mikolov et al. 2013): count ordered (w1, w2) pairs where
+    w2 follows w1 within SKIPGRAM_WINDOW positions inside a document.
+    Plan: zero joins — for each offset d the pair stream is two SHIFTED
+    views of the flattened token array masked where the doc boundary is
+    crossed (pure numpy slices, no copies of text), pre-combined per batch
+    before the single (w1, w2) count shuffle. The oracle mirrors with a
+    positional self-join; the engine never pays that join."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir)
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        flat = pc.list_flatten(toks).to_pandas().to_numpy()
+        w1_parts, w2_parts = [], []
+        for d in range(1, SKIPGRAM_WINDOW + 1):
+            if len(flat) <= d:
+                break
+            m = doc[:-d] == doc[d:]
+            w1_parts.append(flat[:-d][m])
+            w2_parts.append(flat[d:][m])
+        if not w1_parts:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        df = pd.DataFrame({"w1": np.concatenate(w1_parts),
+                           "w2": np.concatenate(w2_parts),
+                           "n": np.int64(1)})
+        g = df.groupby(["w1", "w2"], sort=False, as_index=False)["n"].sum()
+        return pa.table({"w1": pa.array(g["w1"], pa.string()),
+                         "w2": pa.array(g["w2"], pa.string()),
+                         "n": pa.array(g["n"].to_numpy(), pa.int64())})
+
+    from .stages.partitioning import schema_floor, scrub_empty_blocks
+
+    pre = scrub_empty_blocks(ds.map_batches(_pairs, batch_format="pyarrow"))
+    return schema_floor(
+        pre.groupby(["w1", "w2"], num_partitions=pick_partitions(pre))
+           .aggregate(Sum("n", alias_name="n")),
+        pd.DataFrame({"w1": pd.Series(dtype=object),
+                      "w2": pd.Series(dtype=object),
+                      "n": pd.Series(dtype=np.int64)}))
+
+
+SQL_SKIPGRAM_COUNTS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         unnest(range(length(string_split(text, ' ')))) AS i
+  FROM documents)
+SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND {SKIPGRAM_WINDOW}
+GROUP BY w1, w2
+"""
+
+
+CONTAINMENT_TAU = 0.8
+
+
+def q_ngram_containment(sf_dir: str):
+    """Asymmetric near-dup: word-3-gram CONTAINMENT join — score is
+    |A∩B| / min(|A|,|B|), which catches a short document swallowed whole
+    by a longer one (quote farms, boilerplate wrappers) that Jaccard's
+    union denominator dilutes below any usable threshold. Same
+    inverted-index shuffle plan as `q_ngram_jaccard` (shared kernel in
+    functions/dedup.py), different final IEEE expression."""
+    from .functions.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(sf_dir), n=3, tau=CONTAINMENT_TAU,
+                              score="containment")
+    return _pairs_floor(out.map_batches(
+        lambda t: t.select(["doc_a", "doc_b", "containment"]),
+        batch_format="pyarrow"), "containment")
+
+
+SALT_FRONTIER = 12000
+
+
+def q_url_frontier(sf_dir: str):
+    """Crawl-frontier scheduling: parse the host out of each page url and
+    assign every URL its politeness rank — position in the per-host fetch
+    queue under a deterministic pseudo-random priority (hmix of the page
+    id), so round r of a crawl fetches the rank-r URL of every host
+    simultaneously and no host is ever hit twice in a round. One
+    host-hash shuffle; ranks are computed per co-located partition with a
+    mergesort + run-length kernel (no per-group Python), mirroring the
+    oracle's ROW_NUMBER() window."""
+    from .stages.partitioning import grouped_batch_map
+
+    pages = pages_from_documents(sf_dir)
+
+    def _host(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(
+            t["url"], start=-9, stop=99), pa.int64())
+        host = pc.extract_regex(t["url"], r"https://(?P<h>[^/]+)/")
+        idn = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(idn, pa.int64()),
+            "host": pc.struct_field(host, "h"),
+            "pri": pa.array(hmix(idn, SALT_FRONTIER), pa.int64())})
+
+    tagged = pages.map_batches(_host, batch_format="pyarrow")
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["host", "pri", "doc_id"],
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if not n:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "host": pd.Series(dtype=object),
+                                 "crawl_rank": pd.Series(dtype=np.int64)})
+        host = df["host"].to_numpy()
+        new_h = np.r_[True, host[1:] != host[:-1]]
+        idx = np.arange(n, dtype=np.int64)
+        start_of_run = np.maximum.accumulate(np.where(new_h, idx, 0))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "host": host,
+                             "crawl_rank": idx - start_of_run})
+
+    return grouped_batch_map(tagged, ["host"], _rank)
+
+
+def _sql_url_frontier() -> str:
+    pri = hmix_sql("doc_id", SALT_FRONTIER)
+    return f"""
+SELECT doc_id, 'site' || CAST(doc_id % 20 AS VARCHAR) AS host,
+       ROW_NUMBER() OVER (PARTITION BY doc_id % 20
+                          ORDER BY {pri}, doc_id) - 1 AS crawl_rank
+FROM documents
+"""
+
+
+def q_ccnet_bucket(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus bigram LM (`q_lm_score`), then split each
+    LANGUAGE into exact head/middle/tail terciles of the integer score
+    (head = most-probable third — the slice CCNet keeps for pretraining).
+    The tercile boundaries are exact grouped order statistics computed by
+    `stages/orderstats.grouped_int_kth` — two streaming COUNT passes over
+    coarse-then-exact integer histograms, no sort shuffle, driver pull
+    bounded by langs × score_range/1024 at any corpus size. Value-based
+    bucketing (ties share a bucket) keeps membership deterministic."""
+    from .stages.orderstats import grouped_int_kth
+
+    _EMPTY = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                           "lang": pd.Series(dtype=object),
+                           "score": pd.Series(dtype=np.int64),
+                           "bucket": pd.Series(dtype=object)})
+
+    lm = q_lm_score(sf_dir)
+    if isinstance(lm, pd.DataFrame):  # schema-floored empty LM output
+        return _EMPTY
+
+    def _score(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(
+                t["lm_sum"].to_numpy(zero_copy_only=False)
+                // t["n_bigrams"].to_numpy(zero_copy_only=False), pa.int64())})
+
+    from .stages.joins import safe_join
+
+    sc = lm.map_batches(_score, batch_format="pyarrow")
+    langs = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    # safe_join: an all-short-docs corpus yields ZERO scored rows (every
+    # doc has < 2 tokens) and the bare hash join dies schema-less
+    joined = safe_join(
+        sc, langs, join_type="inner", on=("doc_id",),
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("score", pa.int64())]),
+        scrub_right=False)
+
+    from ray.data.aggregate import Count
+
+    counts = joined.groupby("lang").aggregate(Count(alias_name="n")) \
+                   .to_pandas()
+    ks_of = {str(r["lang"]): sorted({(int(r["n"]) + 2) // 3,
+                                     (2 * int(r["n"]) + 2) // 3})
+             for _, r in counts.iterrows()}
+    kth = grouped_int_kth(joined, "lang", "score", ks_of)
+    bounds = {g: (kth[(g, ks_of[g][0])], kth[(g, ks_of[g][-1])])
+              for g in ks_of}
+    bounds_ref = ray.put(bounds)
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bounds_ref)
+        t1 = df["lang"].map({g: v[0] for g, v in b.items()}).to_numpy()
+        t2 = df["lang"].map({g: v[1] for g, v in b.items()}).to_numpy()
+        s = df["score"].to_numpy()
+        bucket = np.where(s <= t1, "tail",
+                          np.where(s <= t2, "middle", "head"))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "lang": df["lang"],
+                             "score": s,
+                             "bucket": bucket})
+
+    from .stages.partitioning import schema_floor
+
+    return schema_floor(
+        joined.map_batches(_bucket, batch_format="pandas"), _EMPTY)
+
+
+def _sql_ccnet_bucket() -> str:
+    return f"""
+WITH lm AS (SELECT * FROM ({SQL_LM_SCORE})),
+sc AS (SELECT lm.doc_id, d.lang, lm.lm_sum // lm.n_bigrams AS score
+       FROM lm JOIN documents d USING (doc_id)),
+hist AS (SELECT lang, score, COUNT(*) AS c FROM sc GROUP BY 1, 2),
+cum AS (SELECT lang, score,
+               SUM(c) OVER (PARTITION BY lang ORDER BY score) AS cm,
+               SUM(c) OVER (PARTITION BY lang) AS n
+        FROM hist),
+b1 AS (SELECT lang, MIN(score) AS t1 FROM cum
+       WHERE cm >= (n + 2) // 3 GROUP BY lang),
+b2 AS (SELECT lang, MIN(score) AS t2 FROM cum
+       WHERE cm >= (2 * n + 2) // 3 GROUP BY lang)
+SELECT sc.doc_id, sc.lang, sc.score,
+       CASE WHEN sc.score <= b1.t1 THEN 'tail'
+            WHEN sc.score <= b2.t2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM sc JOIN b1 USING (lang) JOIN b2 USING (lang)
+"""
+
+
+def q_crawl_change_rate(sf_dir: str):
+    """Recrawl scheduling prior: roll the cross-snapshot delta
+    (`q_snapshot_delta`) up to the HOST level — added/removed/changed/
+    unchanged counts plus the observed change rate, the statistic an
+    incremental crawler feeds back into per-host revisit frequency. The
+    status stream is pre-combined per batch to one row per (host, status)
+    before a single host groupby; rate is one IEEE division of exact
+    counts."""
+    from ray.data.aggregate import Sum
+
+    delta = q_snapshot_delta(sf_dir)
+    if isinstance(delta, pd.DataFrame):  # schema-floored empty diff
+        return pd.DataFrame({
+            "host": pd.Series(dtype=object),
+            "n_added": pd.Series(dtype=np.int64),
+            "n_removed": pd.Series(dtype=np.int64),
+            "n_changed": pd.Series(dtype=np.int64),
+            "n_unchanged": pd.Series(dtype=np.int64),
+            "change_rate": pd.Series(dtype=np.float64)})
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        host = np.char.add("site", (df["doc_id"].to_numpy() % 20).astype(str))
+        ct = pd.crosstab(host, df["status"])
+        for c in ("added", "removed", "changed", "unchanged"):
+            if c not in ct.columns:
+                ct[c] = 0
+        ct = ct[["added", "removed", "changed", "unchanged"]].astype(np.int64)
+        ct.index.name = "host"
+        return ct.reset_index().rename(columns={
+            "added": "n_added", "removed": "n_removed",
+            "changed": "n_changed", "unchanged": "n_unchanged"})
+
+    pre = delta.map_batches(_partial, batch_format="pandas")
+    agg = pre.groupby("host").aggregate(
+        Sum("n_added", alias_name="n_added"),
+        Sum("n_removed", alias_name="n_removed"),
+        Sum("n_changed", alias_name="n_changed"),
+        Sum("n_unchanged", alias_name="n_unchanged"))
+
+    def _rate(df: pd.DataFrame) -> pd.DataFrame:
+        ch = df["n_changed"].to_numpy().astype(np.float64)
+        un = df["n_unchanged"].to_numpy().astype(np.float64)
+        df["change_rate"] = np.where(ch + un == 0, 0.0, ch / (ch + un))
+        return df
+
+    return agg.map_batches(_rate, batch_format="pandas")
+
+
+SQL_CRAWL_CHANGE_RATE = f"""
+WITH delta AS (SELECT * FROM ({SQL_SNAPSHOT_DELTA})),
+by_host AS (
+  SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) AS host,
+         COUNT(*) FILTER (status = 'added') AS n_added,
+         COUNT(*) FILTER (status = 'removed') AS n_removed,
+         COUNT(*) FILTER (status = 'changed') AS n_changed,
+         COUNT(*) FILTER (status = 'unchanged') AS n_unchanged
+  FROM delta GROUP BY host)
+SELECT host, n_added, n_removed, n_changed, n_unchanged,
+       CASE WHEN n_changed + n_unchanged = 0 THEN 0.0
+            ELSE CAST(n_changed AS DOUBLE)
+                 / CAST(n_changed + n_unchanged AS DOUBLE) END AS change_rate
+FROM by_host
+"""
+
+
+VOCAB_MIN_COUNT = 5  # frequency-threshold vocabulary (no top-k driver sort)
+
+
+def q_vocab_oov(sf_dir: str):
+    """Tokenizer-vocabulary coverage: build the frequency-threshold
+    vocabulary (all terms with corpus count ≥ VOCAB_MIN_COUNT — the
+    Zipf-bounded construction that needs no global top-k) and score every
+    document's out-of-vocabulary token rate. Fully distributed end to end:
+    the vocab is NOT broadcast — per-doc term counts LEFT-join the vocab
+    table on the term hash, then one doc groupby re-aggregates; only
+    compact (doc_id, term, tf) triples cross the exchanges, never text."""
+    from ray.data.aggregate import Sum
+
+    from .stages.joins import safe_join
+    from .stages.partitioning import checkpoint
+
+    ds = _docs(sf_dir)
+
+    def _tf(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "doc_id": np.repeat(
+                t["doc_id"].to_numpy(zero_copy_only=False), lens),
+            "term": pc.list_flatten(toks).to_pandas(),
+            "tf": np.int64(1)})
+        g = df.groupby(["doc_id", "term"], sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tf = checkpoint(ds.map_batches(_tf, batch_format="pyarrow"), "oov_tf")
+
+    def _term_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"term": t["term"].to_pandas(),
+                           "n": t["tf"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("term", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    pre = tf.map_batches(_term_partial, batch_format="pyarrow")
+    vocab = pre.groupby("term", num_partitions=pick_partitions(pre)) \
+               .aggregate(Sum("n", alias_name="n")) \
+               .filter(expr=f"n >= {VOCAB_MIN_COUNT}") \
+               .map_batches(lambda t: pa.table({
+                   "vterm": t["term"],
+                   "iv": pa.array(np.ones(t.num_rows, np.int64))}),
+                   batch_format="pyarrow")
+
+    joined = safe_join(
+        tf, vocab, join_type="left_outer",
+        on=("term",), right_on=("vterm",),
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("term", pa.string()),
+                               ("tf", pa.int64())]),
+        right_schema=pa.schema([("vterm", pa.string()),
+                                ("iv", pa.int64())]))
+
+    def _doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tfv = df["tf"].to_numpy()
+        oov = np.where(df["iv"].isna().to_numpy(), tfv, 0)
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "n_tokens": tfv, "n_oov": oov})
+        return out.groupby("doc_id", sort=False, as_index=False).sum()
+
+    agg = joined.map_batches(_doc_partial, batch_format="pandas") \
+                .groupby("doc_id") \
+                .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                           Sum("n_oov", alias_name="n_oov"))
+
+    def _rate(df: pd.DataFrame) -> pd.DataFrame:
+        df["oov_rate"] = (df["n_oov"].to_numpy().astype(np.float64)
+                          / df["n_tokens"].to_numpy().astype(np.float64))
+        return df
+
+    from .stages.partitioning import schema_floor
+
+    return schema_floor(
+        agg.map_batches(_rate, batch_format="pandas"),
+        pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                      "n_tokens": pd.Series(dtype=np.int64),
+                      "n_oov": pd.Series(dtype=np.int64),
+                      "oov_rate": pd.Series(dtype=np.float64)}))
+
+
+SQL_VOCAB_OOV = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term FROM tf GROUP BY term
+          HAVING SUM(tf) >= {VOCAB_MIN_COUNT})
+SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(tf.tf) AS DOUBLE) AS oov_rate
+FROM tf LEFT JOIN vocab v USING (term)
+GROUP BY tf.doc_id
+"""
+
+
+PMI_MIN_NB = 2      # bigram support floor
+PMI_MIN_RATIO = 5.0  # keep collocations ≥5× more frequent than chance
+
+
+def q_pmi_collocations(sf_dir: str):
+    """Collocation extraction by pointwise mutual information over the
+    corpus bigram table (Church & Hanks 1990): ratio = P(w1,w2) /
+    (P(w1)·P(w2)) = nb·T / (c1·c2), computed as ONE mirrored IEEE
+    expression over exact integer counts (c1/c2 = the bigram table's own
+    marginals, so no second corpus pass). Thresholds — support ≥ PMI_MIN_NB
+    and ratio ≥ PMI_MIN_RATIO — keep the op fully distributed: no global
+    top-k, no driver sort; output is the (w1, w2, nb, pmi_ratio)
+    collocation table. Three compact-key shuffles (bigram count + two
+    marginal joins), text never moves."""
+    from ray.data.aggregate import Sum
+
+    from .stages.partitioning import (checkpoint, scrub_empty_blocks,
+                                      typed_table)
+
+    _SCHEMA = [("w1", pa.string()), ("w2", pa.string()), ("n", pa.int64())]
+
+    ds = _docs(sf_dir, cols=("text",))
+
+    def _local(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if n < 2:
+            return typed_table(_SCHEMA, w1=[], w2=[], n=[])
+        keep = np.ones(n, dtype=bool)
+        nz = offs[1:] > offs[:-1]
+        keep[offs[1:][nz] - 1] = False
+        df = pd.DataFrame({"w1": flat[:-1][keep[:-1]],
+                           "w2": flat[1:][keep[:-1]]})
+        g = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="n")
+        return typed_table(_SCHEMA, w1=g["w1"], w2=g["w2"],
+                           n=g["n"].to_numpy())
+
+    pre = scrub_empty_blocks(ds.map_batches(_local, batch_format="pyarrow"))
+    nb = checkpoint(
+        pre.groupby(["w1", "w2"], num_partitions=pick_partitions(pre))
+           .aggregate(Sum("n", alias_name="nb")), "pmi_nb")
+
+    total = nb.sum("nb") or 0
+
+    def _marg(col, alias):
+        def _p(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({col: t[col].to_pandas(),
+                               alias: t["nb"].to_numpy(zero_copy_only=False)})
+            return pa.Table.from_pandas(
+                df.groupby(col, sort=False, as_index=False).sum(),
+                preserve_index=False)
+        p = nb.map_batches(_p, batch_format="pyarrow")
+        return scrub_empty_blocks(
+            p.groupby(col, num_partitions=pick_partitions(p))
+             .aggregate(Sum(alias, alias_name=alias)))
+
+    c1 = _marg("w1", "c1")
+    c2 = _marg("w2", "c2").map_batches(
+        lambda t: t.rename_columns(
+            ["w2b" if c == "w2" else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+    from .stages.joins import safe_join
+
+    # safe_join: a no-bigram corpus (every doc < 2 tokens) leaves nb and
+    # both marginals entirely empty — schema floors keep the joins typed
+    _nb_s = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                       ("nb", pa.int64())])
+    j = safe_join(nb, c1, join_type="inner", on=("w1",),
+                  left_schema=_nb_s,
+                  right_schema=pa.schema([("w1", pa.string()),
+                                          ("c1", pa.int64())]))
+    j = safe_join(j, c2, join_type="inner", on=("w2",), right_on=("w2b",),
+                  left_schema=pa.schema(list(_nb_s)
+                                        + [pa.field("c1", pa.int64())]),
+                  right_schema=pa.schema([("w2b", pa.string()),
+                                          ("c2", pa.int64())]))
+
+    def _pmi(t: pa.Table) -> pa.Table:
+        nbv = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1v = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2v = t["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ratio = (nbv * np.float64(total)) / (c1v * c2v)
+        out = pa.table({"w1": t["w1"], "w2": t["w2"],
+                        "nb": t["nb"].cast(pa.int64()),
+                        "pmi_ratio": pa.array(ratio, pa.float64())})
+        keep = pc.and_(pc.greater_equal(out["nb"], PMI_MIN_NB),
+                       pc.greater_equal(out["pmi_ratio"], PMI_MIN_RATIO))
+        return out.filter(keep)
+
+    from .stages.partitioning import schema_floor
+
+    return schema_floor(
+        j.map_batches(_pmi, batch_format="pyarrow"),
+        pd.DataFrame({"w1": pd.Series(dtype=object),
+                      "w2": pd.Series(dtype=object),
+                      "nb": pd.Series(dtype=np.int64),
+                      "pmi_ratio": pd.Series(dtype=np.float64)}))
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+p AS (SELECT doc_id, l, unnest(range(1, array_length(l))) AS i FROM t),
+bg AS (SELECT l[CAST(i AS INT)] AS w1, l[CAST(i AS INT) + 1] AS w2,
+              COUNT(*) AS nb
+       FROM p GROUP BY 1, 2),
+tot AS (SELECT SUM(nb) AS total FROM bg),
+m1 AS (SELECT w1, SUM(nb) AS c1 FROM bg GROUP BY w1),
+m2 AS (SELECT w2, SUM(nb) AS c2 FROM bg GROUP BY w2)
+SELECT bg.w1, bg.w2, bg.nb,
+       (CAST(bg.nb AS DOUBLE) * CAST(tot.total AS DOUBLE))
+       / (CAST(m1.c1 AS DOUBLE) * CAST(m2.c2 AS DOUBLE)) AS pmi_ratio
+FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2), tot
+WHERE bg.nb >= {PMI_MIN_NB}
+  AND (CAST(bg.nb AS DOUBLE) * CAST(tot.total AS DOUBLE))
+      / (CAST(m1.c1 AS DOUBLE) * CAST(m2.c2 AS DOUBLE)) >= {PMI_MIN_RATIO}
+"""
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source duplicate-rate report (which feeds crawl-source triage:
+    a mirror-heavy source gets its crawl budget cut): over the
+    planted-duplicate corpus, the fraction of documents per source whose
+    content fingerprint is redundant = 1 − distinct/total. One (source,
+    fp) count shuffle — each reduced row then carries (ndist=1, ntotal=m)
+    into a per-source Sum, so the second exchange moves one row per
+    distinct text. Rate is one IEEE expression of exact counts."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, cols=("doc_id", "text", "source"))
+    shifted = ds.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("doc_id"), "doc_id",
+            pc.add(t["doc_id"], DUP_OFFSET)),
+        batch_format="pyarrow")
+    both = ds.union(shifted)
+
+    def _fp(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(v.encode()).hexdigest()
+               for v in t["text"].to_pylist()]
+        df = pd.DataFrame({"source": t["source"].to_pandas(),
+                           "fp": fps, "m": np.int64(1)})
+        g = df.groupby(["source", "fp"], sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pre = both.map_batches(_fp, batch_format="pyarrow")
+    g = pre.groupby(["source", "fp"], num_partitions=pick_partitions(pre)) \
+           .aggregate(Sum("m", alias_name="m"))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas(),
+            "n_distinct": np.int64(1),
+            "n_docs": t["m"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    agg = g.map_batches(_partial, batch_format="pyarrow") \
+           .groupby("source") \
+           .aggregate(Sum("n_distinct", alias_name="n_distinct"),
+                      Sum("n_docs", alias_name="n_docs"))
+
+    def _rate(df: pd.DataFrame) -> pd.DataFrame:
+        df["dup_rate"] = (1.0 - df["n_distinct"].to_numpy().astype(np.float64)
+                          / df["n_docs"].to_numpy().astype(np.float64))
+        return df
+
+    return agg.map_batches(_rate, batch_format="pandas")
+
+
+SQL_DUP_RATE_BY_SOURCE = f"""
+WITH both_ AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, text, source FROM documents),
+g AS (SELECT source, md5(text) AS fp, COUNT(*) AS m
+      FROM both_ GROUP BY 1, 2)
+SELECT source, COUNT(*) AS n_distinct, CAST(SUM(m) AS BIGINT) AS n_docs,
+       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(m) AS DOUBLE) AS dup_rate
+FROM g GROUP BY source
+"""
+
+
+def q_grouped_winsorize(sf_dir: str):
+    """Per-GROUP winsorization: clip order totals at each priority class's
+    own exact p5/p95 order statistics — the grouped twin of `q_winsorize`,
+    and the second consumer of `stages/orderstats.grouped_int_kth` (exact
+    grouped quickselect over integer cents: two streaming count passes, no
+    sort shuffle, driver state bounded by groups × range/1024). The clip
+    itself is one broadcast-lookup numpy kernel per batch; the float is
+    one mirrored IEEE division of exact cents."""
+    from ray.data.aggregate import Count
+
+    from .stages.orderstats import grouped_int_kth
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "o_orderkey": t["o_orderkey"],
+                "grp": t["o_orderpriority"],
+                "c": pa.array(np.rint(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64)),
+            }),
+            batch_format="pyarrow")
+
+    counts = ds.groupby("grp").aggregate(Count(alias_name="n")).to_pandas()
+    ks_of = {str(r["grp"]): sorted({(int(r["n"]) * WINS_LO_PCT + 99) // 100,
+                                    (int(r["n"]) * WINS_HI_PCT + 99) // 100})
+             for _, r in counts.iterrows()}
+    kth = grouped_int_kth(ds, "grp", "c", ks_of)
+    bounds = {g: (kth[(g, ks_of[g][0])], kth[(g, ks_of[g][-1])])
+              for g in ks_of}
+    bounds_ref = ray.put(bounds)
+
+    def _clip(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bounds_ref)
+        lo = df["grp"].map({g: v[0] for g, v in b.items()}).to_numpy()
+        hi = df["grp"].map({g: v[1] for g, v in b.items()}).to_numpy()
+        c = df["c"].to_numpy()
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+            "o_orderpriority": df["grp"],
+            "winsorized": np.clip(c, lo, hi).astype(np.float64) / 100.0})
+
+    return ds.map_batches(_clip, batch_format="pandas")
+
+
+SQL_GROUPED_WINSORIZE = f"""
+WITH p AS (SELECT o_orderkey, o_orderpriority AS grp,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+n AS (SELECT grp, COUNT(*) AS n FROM p GROUP BY grp),
+r AS (SELECT grp, c, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c) AS rn
+      FROM p),
+lo AS (SELECT r.grp, r.c AS lo_v FROM r JOIN n USING (grp)
+       WHERE r.rn = (n.n * {WINS_LO_PCT} + 99) // 100),
+hi AS (SELECT r.grp, r.c AS hi_v FROM r JOIN n USING (grp)
+       WHERE r.rn = (n.n * {WINS_HI_PCT} + 99) // 100)
+SELECT p.o_orderkey, p.grp AS o_orderpriority,
+       CAST(LEAST(GREATEST(p.c, lo.lo_v), hi.hi_v) AS DOUBLE) / 100.0
+         AS winsorized
+FROM p JOIN lo USING (grp) JOIN hi USING (grp)
+"""
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID evaluation: the (labeled lang × predicted lang)
+    confusion-matrix counts over the whole corpus — the quality gauge run
+    after every lang-ID model change. Predictions come from the LangId
+    actor pool (profiles compiled once per actor); truth labels join in
+    on doc_id (hash join, compact keys); counts pre-combine per batch
+    before the final tiny (lang, lang_pred) groupby."""
+    from ray.data.aggregate import Sum
+
+    pred = q_lang_id(sf_dir)
+    truth = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    j = pred.join(truth, join_type="inner",
+                  num_partitions=pick_partitions(pred, truth),
+                  on=("doc_id",))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": t["lang"].to_pandas(),
+                           "lang_pred": t["lang_pred"].to_pandas(),
+                           "n": np.int64(1)})
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "lang_pred"], sort=False,
+                       as_index=False).sum(),
+            preserve_index=False)
+
+    return j.map_batches(_partial, batch_format="pyarrow") \
+            .groupby(["lang", "lang_pred"]) \
+            .aggregate(Sum("n", alias_name="n"))
+
+
+def _sql_lang_confusion() -> str:
+    from .functions.text import lang_id_sql
+
+    return f"""
+WITH pred AS (SELECT * FROM ({lang_id_sql('documents')}))
+SELECT d.lang, pred.lang_pred, COUNT(*) AS n
+FROM pred JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sampler pipelines (seeded/iterative — rows-only checks; conformance is
 # asserted by pytest per the reference's own test strategy, SURVEY.md §5)
@@ -7307,6 +8014,16 @@ def build_queries() -> dict:
         "postings": q_postings,
         "text_canon": q_text_canon,
         "hits": q_hits,
+        "skipgram_counts": q_skipgram_counts,
+        "ngram_containment": q_ngram_containment,
+        "url_frontier": q_url_frontier,
+        "ccnet_bucket": q_ccnet_bucket,
+        "crawl_change_rate": q_crawl_change_rate,
+        "vocab_oov": q_vocab_oov,
+        "pmi_collocations": q_pmi_collocations,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "lang_confusion": q_lang_confusion,
+        "grouped_winsorize": q_grouped_winsorize,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -7494,6 +8211,16 @@ def build_oracle_sql() -> dict:
         "postings": SQL_POSTINGS,
         "text_canon": SQL_TEXT_CANON,
         "hits": SQL_HITS,
+        "skipgram_counts": SQL_SKIPGRAM_COUNTS,
+        "ngram_containment": _sql_ngram_containment(),
+        "url_frontier": _sql_url_frontier(),
+        "ccnet_bucket": _sql_ccnet_bucket(),
+        "crawl_change_rate": SQL_CRAWL_CHANGE_RATE,
+        "vocab_oov": SQL_VOCAB_OOV,
+        "pmi_collocations": SQL_PMI_COLLOCATIONS,
+        "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
+        "lang_confusion": _sql_lang_confusion(),
+        "grouped_winsorize": SQL_GROUPED_WINSORIZE,
     }
 
 
@@ -7514,6 +8241,13 @@ def _sql_ngram_jaccard(max_doc_freq: int | None = None) -> str:
 
     return ngram_jaccard_sql("documents", n=3, tau=JACCARD_TAU,
                              max_doc_freq=max_doc_freq)
+
+
+def _sql_ngram_containment() -> str:
+    from .functions.dedup import ngram_jaccard_sql
+
+    return ngram_jaccard_sql("documents", n=3, tau=CONTAINMENT_TAU,
+                             score="containment")
 
 
 def _sql_simhash() -> str:

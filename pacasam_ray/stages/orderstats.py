@@ -107,3 +107,95 @@ def percentile_disc(ds, col: str, q: float) -> pd.DataFrame:
     n = ds.count()
     k = int((n - 1) * q) + 1
     return pd.DataFrame({f"p{int(q * 100)}": [kth_smallest_value(ds, col, k)]})
+
+
+COARSE_WIDTH = 1024  # integer pre-bucket width for the grouped variant
+
+
+def grouped_int_kth(ds, group_col: str, value_col: str,
+                    ks_of: "dict[object, list[int]]") -> "dict[tuple, int]":
+    """Exact k-th smallest INTEGER value per group, for a BOUNDED group
+    key space (languages, quality tiers, shard classes — not user ids).
+
+    Two streaming count passes, no shuffle: pass 1 pulls a per-(group,
+    coarse-bucket) histogram (bucket = value // COARSE_WIDTH, so the pull
+    is ≤ groups × value_range/COARSE_WIDTH rows regardless of corpus
+    size); the boundary bucket of each requested k is then resolved with
+    pass 2's exact per-value histogram restricted to those boundary
+    buckets only (≤ COARSE_WIDTH × #ks rows). Returns {(group, k): value}
+    with value = the k-th smallest (1-based, ties well-defined) —
+    identical to SQL ``ORDER BY v LIMIT 1 OFFSET k-1`` within the group.
+    """
+
+    def _coarse(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t[group_col].to_pandas(),
+            "b": t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                 // COARSE_WIDTH,
+            "c": np.int64(1)})
+        out = df.groupby(["g", "b"], sort=False, as_index=False)["c"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    acc: dict = {}
+    for part in ds.map_batches(_coarse, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pandas", batch_size=None):
+        for g, b, c in zip(part["g"], part["b"], part["c"]):
+            acc[(g, int(b))] = acc.get((g, int(b)), 0) + int(c)
+
+    # per group: sorted coarse buckets + cumulative counts -> boundary bucket
+    per_group: dict = {}
+    for (g, b), c in acc.items():
+        per_group.setdefault(g, []).append((b, c))
+    need: dict = {}   # (g, k) -> (boundary bucket, #values below bucket)
+    for g, ks in ks_of.items():
+        bl = sorted(per_group.get(g, []))
+        bs = np.array([b for b, _ in bl], dtype=np.int64)
+        cum = np.cumsum([c for _, c in bl])
+        for k in ks:
+            i = int(np.searchsorted(cum, k))
+            if i >= len(bs):
+                raise ValueError(f"k={k} exceeds group {g!r} size")
+            need[(g, int(k))] = (int(bs[i]), int(cum[i - 1]) if i else 0)
+
+    wanted: dict = {}  # g -> set of boundary buckets
+    for (g, _), (b, _) in need.items():
+        wanted.setdefault(g, set()).add(b)
+    wanted_sorted = {g: np.array(sorted(bs), dtype=np.int64)
+                     for g, bs in wanted.items()}
+
+    def _exact(t: pa.Table) -> pa.Table:
+        gg = t[group_col].to_pandas().to_numpy()
+        vv = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = vv // COARSE_WIDTH
+        keep = np.zeros(len(vv), dtype=bool)
+        for g, bs in wanted_sorted.items():
+            gm = gg == g
+            if gm.any():
+                keep[gm] = np.isin(bb[gm], bs)
+        df = pd.DataFrame({"g": gg[keep], "v": vv[keep], "c": np.int64(1)})
+        out = df.groupby(["g", "v"], sort=False, as_index=False)["c"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    fine: dict = {}
+    for part in ds.map_batches(_exact, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pandas", batch_size=None):
+        for g, v, c in zip(part["g"], part["v"], part["c"]):
+            fine[(g, int(v))] = fine.get((g, int(v)), 0) + int(c)
+
+    per_group_fine: dict = {}
+    for (g, v), c in fine.items():
+        per_group_fine.setdefault(g, []).append((v, c))
+
+    out: dict = {}
+    for (g, k), (b, below) in need.items():
+        vals = sorted((v, c) for v, c in per_group_fine.get(g, [])
+                      if v // COARSE_WIDTH == b)
+        cum = below
+        for v, c in vals:
+            cum += c
+            if cum >= k:
+                out[(g, k)] = v
+                break
+        else:
+            raise RuntimeError(f"lost k={k} for group {g!r}")
+    return out

@@ -35,11 +35,20 @@ EVENT_QUERIES = [
 DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
                "repetition_ratio", "tfidf_topk", "heavy_hitters",
                "doc_chunk", "pack_linear", "source_mix", "bigram_counts",
-               "token_count_regex", "lm_score",
+               "token_count_regex",
                "gopher_filter", "c4_filter", "top_ngram_frac",
                "dup_ngram_frac", "hash_split", "sentence_dedup",
-               "dsir_weights", "snapshot_delta", "normalize_mad",
-               "token_budget_mix", "bpe_pairs", "postings", "text_canon"]
+               "snapshot_delta", "normalize_mad",
+               "token_budget_mix", "bpe_pairs", "postings", "text_canon",
+               "skipgram_counts", "url_frontier",
+               "crawl_change_rate", "dup_rate_by_source", "lang_confusion"]
+
+# multi-shuffle / multi-join pipelines: ~5-20x the wall-clock of the list
+# above per example, so they fuzz at a reduced example count (the operator
+# count grows each round; without the split the doc fuzz alone would blow
+# the suite budget)
+DOC_QUERIES_HEAVY = ["lm_score", "dsir_weights", "ngram_containment",
+                     "ccnet_bucket", "vocab_oov", "pmi_collocations"]
 
 
 def _assert_parity(name, sf_dir, con):
@@ -99,11 +108,7 @@ def test_fuzz_event_windows(rows, ray_session, tmp_path_factory):
     con.close()
 
 
-@settings(max_examples=max(3, FUZZ_EXAMPLES * 3 // 4), deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(texts=doc_texts)
-def test_fuzz_doc_dedup(texts, ray_session, tmp_path_factory):
-    d = tmp_path_factory.mktemp("fuzz_doc")
+def _write_fuzz_docs(texts, d):
     docs = pd.DataFrame({
         "doc_id": np.arange(len(texts), dtype=np.int64),
         "text": texts,
@@ -116,7 +121,27 @@ def test_fuzz_doc_dedup(texts, ray_session, tmp_path_factory):
     docs.to_parquet(d / "documents.parquet", index=False)
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    return con
+
+
+@settings(max_examples=max(3, FUZZ_EXAMPLES * 3 // 4), deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=doc_texts)
+def test_fuzz_doc_dedup(texts, ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_doc")
+    con = _write_fuzz_docs(texts, d)
     for name in DOC_QUERIES:
+        _assert_parity(name, str(d), con)
+    con.close()
+
+
+@settings(max_examples=max(2, FUZZ_EXAMPLES // 2), deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=doc_texts)
+def test_fuzz_doc_heavy(texts, ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_doch")
+    con = _write_fuzz_docs(texts, d)
+    for name in DOC_QUERIES_HEAVY:
         _assert_parity(name, str(d), con)
     con.close()
 
@@ -162,7 +187,7 @@ def test_fuzz_embedding_ops(picks, ray_session, tmp_path_factory):
 
 
 JOIN_QUERIES = ["left_join", "full_join", "semi_join_shuffle",
-                "tpch_q3", "tpch_q12", "hits"]
+                "tpch_q3", "tpch_q12", "hits", "grouped_winsorize"]
 
 # order rows straddle HIGH_ORDER_PRICE / Q3 / Q12 windows so every filter
 # can come up empty, partially empty, or full — the shapes that exercise

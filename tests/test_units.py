@@ -219,3 +219,31 @@ def test_pick_group_partitions_floors_at_cluster_cpus(ray_session):
     cpus = int(ray.cluster_resources()["CPU"])
     assert pick_partitions(ds) < pick_group_partitions(ds) or cpus <= 4
     assert pick_group_partitions(ds) >= min(cpus, 4)
+
+
+def test_grouped_int_kth_matches_numpy(ray_session):
+    """Grouped two-pass integer order statistics: every requested (group,
+    k) must equal the value numpy finds by fully sorting the group —
+    including ties, single-row groups, values spanning many coarse
+    buckets, and several ks inside the same coarse bucket."""
+    import numpy as np
+    import ray.data
+
+    from pacasam_ray.stages.orderstats import grouped_int_kth
+
+    rng = np.random.default_rng(7)
+    rows = []
+    truth = {}
+    for g, n, spread in (("en", 4000, 50_000), ("fr", 700, 900),
+                         ("zh", 1, 10), ("de", 60, 3)):
+        vals = rng.integers(0, spread + 1, n).astype(np.int64)
+        rows.extend({"lang": g, "v": int(v)} for v in vals)
+        truth[g] = np.sort(vals)
+    ds = ray.data.from_items(rows, override_num_blocks=9)
+
+    ks_of = {"en": [1, 1333, 2667, 4000], "fr": [1, 350, 700],
+             "zh": [1], "de": [20, 21, 22]}
+    got = grouped_int_kth(ds, "lang", "v", ks_of)
+    for g, ks in ks_of.items():
+        for k in ks:
+            assert got[(g, k)] == int(truth[g][k - 1]), (g, k)
