@@ -216,20 +216,25 @@ def big_throughput() -> dict:
         pairs = ds.map_batches(_explode, batch_format="pyarrow")
 
         def _agg(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.sort_values(["term", "doc_id"],
-                                kind="mergesort").reset_index(drop=True)
+            # factorize + int-code lexsort (2.2x vs pandas string mergesort
+            # on hot-group buckets — see q_postings)
             n_ = len(df)
             if not n_:
                 return pd.DataFrame({"term": pd.Series(dtype=object),
-                                     "df": pd.Series(dtype=np.int64)})
-            term = df["term"].to_numpy()
-            starts = np.nonzero(np.r_[True, term[1:] != term[:-1]])[0]
+                                     "df": pd.Series(dtype=np.int64),
+                                     "postings": pd.Series(dtype=object)})
+            codes, uniq = pd.factorize(df["term"].to_numpy(), sort=True)
+            order = np.lexsort((df["doc_id"].to_numpy(), codes))
+            ids_sorted = df["doc_id"].to_numpy()[order]
+            codes_sorted = codes[order]
+            starts = np.nonzero(
+                np.r_[True, codes_sorted[1:] != codes_sorted[:-1]])[0]
             offsets = np.r_[starts, n_].astype(np.int32)
-            ids = pa.array(df["doc_id"].astype(str), pa.string())
+            ids = pc.cast(pa.array(ids_sorted), pa.string())
             lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
                                              ids)
             return pd.DataFrame({
-                "term": term[starts],
+                "term": uniq[codes_sorted[starts]],
                 "df": np.diff(offsets).astype(np.int64),
                 "postings": pc.binary_join(lists, ",").to_pandas()})
 
