@@ -7848,6 +7848,221 @@ GROUP BY 1, 2
 """
 
 
+GROUP_SAMPLE_N = 10
+SALT_GROUP_SAMPLE = 13000
+
+
+def q_group_sample(sf_dir: str):
+    """Deterministic per-group reservoir: exactly N docs per language,
+    chosen by smallest hmix(doc_id) — the fixed-size per-class eval
+    subset every corpus release ships. Uniform-at-any-parallelism by the
+    same argument as `q_random_sample` (membership is a pure function of
+    the row key), and the per-batch combiner prunes to N rows per group
+    per block BEFORE the shuffle, so the exchange is O(groups·N·blocks)
+    regardless of corpus size."""
+    from .stages.topk import grouped_topk
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+
+    def _rk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "rk", pa.array(hmix(ids, SALT_GROUP_SAMPLE), pa.int64()))
+
+    tagged = ds.map_batches(_rk, batch_format="pyarrow")
+    out = grouped_topk(tagged, ["lang"], "rk", GROUP_SAMPLE_N,
+                       descending=False, tiebreak=["doc_id"])
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow")
+
+
+def _sql_group_sample() -> str:
+    rk = hmix_sql("doc_id", SALT_GROUP_SAMPLE)
+    return f"""
+SELECT doc_id, lang FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY {rk}, doc_id) <= {GROUP_SAMPLE_N}
+"""
+
+
+TFIDF_COS_SCALE = 16   # integer idf scale: (N*SCALE)//df
+TFIDF_COS_TFMAX = 255  # sublinear tf cap keeps products inside int64
+TFIDF_COS_DF_MIN = 2   # singleton terms cannot co-occur — pruned
+TFIDF_COS_DF_CAP = 25  # stop-gram cap bounds pair fan-out (C(cap,2)/term)
+TFIDF_COS_TAU = 0.6
+
+
+def q_tfidf_cosine(sf_dir: str):
+    """Sparse TF-IDF cosine similarity join — the classic document
+    similarity search, fully distributed over the inverted index: weight
+    w(d,t) = min(tf,255) · (N·16)//df over the BAND of informative terms
+    (2 ≤ df ≤ 25: singletons cannot co-occur, stop-grams are capped like
+    `q_ngram_jaccard_capped`, so per-term pair fan-out is ≤ C(25,2));
+    dot products and squared norms are EXACT int64 sums (order-free, so
+    Ray's partition-order-nondeterministic Sum and DuckDB's SUM agree
+    bit-for-bit — a float dot product would not); the only float is the
+    final mirrored expression dot / (sqrt(na)·sqrt(nb)) ≥ τ. Int64
+    bound: holds to N ≈ 10⁵ docs per the wt ≤ tf_max·N·16/df_min
+    analysis; past that, rescale SCALE down or band the corpus."""
+    from ray.data.aggregate import Sum
+
+    from .stages.joins import safe_join
+    from .stages.partitioning import checkpoint, schema_floor
+
+    ds = _docs(sf_dir)
+    n_docs = ds.count()
+
+    def _tf(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "doc_id": np.repeat(
+                t["doc_id"].to_numpy(zero_copy_only=False), lens),
+            "term": pc.list_flatten(toks).to_pandas(),
+            "tf": np.int64(1)})
+        g = df.groupby(["doc_id", "term"], sort=False, as_index=False).sum()
+        g["tf"] = np.minimum(g["tf"].to_numpy(), TFIDF_COS_TFMAX)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tf = checkpoint(ds.map_batches(_tf, batch_format="pyarrow"),
+                    "tfidf_cos_tf")
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"term": t["term"].to_pandas(), "df": np.int64(1)})
+        return pa.Table.from_pandas(
+            df.groupby("term", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    pre = tf.map_batches(_df_partial, batch_format="pyarrow")
+    dfreq = pre.groupby("term", num_partitions=pick_partitions(pre)) \
+               .aggregate(Sum("df", alias_name="df")) \
+               .filter(expr=f"df >= {TFIDF_COS_DF_MIN} and "
+                            f"df <= {TFIDF_COS_DF_CAP}")
+
+    wj = safe_join(
+        tf, dfreq, join_type="inner", on=("term",),
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("term", pa.string()), ("tf", pa.int64())]),
+        right_schema=pa.schema([("term", pa.string()), ("df", pa.int64())]))
+
+    def _wt(t: pa.Table) -> pa.Table:
+        idf = (np.int64(n_docs) * TFIDF_COS_SCALE
+               // t["df"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "term": t["term"],
+            "wt": pa.array(t["tf"].to_numpy(zero_copy_only=False) * idf,
+                           pa.int64())})
+
+    w = checkpoint(wj.map_batches(_wt, batch_format="pyarrow"),
+                   "tfidf_cos_w")
+
+    def _norm_partial(t: pa.Table) -> pa.Table:
+        wt = t["wt"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(
+            zero_copy_only=False), "nsq": wt * wt})
+        return pa.Table.from_pandas(
+            df.groupby("doc_id", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    np_ = w.map_batches(_norm_partial, batch_format="pyarrow")
+    norms = np_.groupby("doc_id", num_partitions=pick_partitions(np_)) \
+               .aggregate(Sum("nsq", alias_name="nsq"))
+
+    wa = w.map_batches(
+        lambda t: t.rename_columns(
+            ["doc_a" if c == "doc_id" else "wa" if c == "wt" else c
+             for c in t.column_names]), batch_format="pyarrow")
+    wb = w.map_batches(
+        lambda t: t.rename_columns(
+            ["doc_b" if c == "doc_id" else "wb" if c == "wt" else c
+             for c in t.column_names]), batch_format="pyarrow")
+    _wa_s = pa.schema([("doc_a", pa.int64()), ("term", pa.string()),
+                       ("wa", pa.int64())])
+    _wb_s = pa.schema([("doc_b", pa.int64()), ("term", pa.string()),
+                       ("wb", pa.int64())])
+    pairs = safe_join(wa, wb, join_type="inner", on=("term",),
+                      left_schema=_wa_s, right_schema=_wb_s)
+
+    def _prod(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["doc_a"], t["doc_b"])
+        t = t.filter(keep)
+        df = pd.DataFrame({
+            "doc_a": t["doc_a"].to_numpy(zero_copy_only=False),
+            "doc_b": t["doc_b"].to_numpy(zero_copy_only=False),
+            "dot": t["wa"].to_numpy(zero_copy_only=False)
+                   * t["wb"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby(["doc_a", "doc_b"], sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    prod_pre = pairs.map_batches(_prod, batch_format="pyarrow")
+    dots = prod_pre.groupby(["doc_a", "doc_b"],
+                            num_partitions=pick_partitions(prod_pre)) \
+                   .aggregate(Sum("dot", alias_name="dot"))
+
+    _dots_s = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                         ("dot", pa.int64())])
+    _norm_s = pa.schema([("doc_id", pa.int64()), ("nsq", pa.int64())])
+    j = safe_join(dots, norms, join_type="inner", on=("doc_a",),
+                  right_on=("doc_id",), left_schema=_dots_s,
+                  right_schema=_norm_s)
+    j = j.map_batches(
+        lambda t: t.rename_columns(
+            ["na" if c == "nsq" else c for c in t.column_names]),
+        batch_format="pyarrow")
+    j = safe_join(j, norms, join_type="inner", on=("doc_b",),
+                  right_on=("doc_id",),
+                  left_schema=pa.schema(list(_dots_s)
+                                        + [pa.field("na", pa.int64())]),
+                  right_schema=_norm_s)
+
+    def _cos(t: pa.Table) -> pa.Table:
+        dot = t["dot"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["nsq"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cos = dot / (np.sqrt(na) * np.sqrt(nb))
+        out = pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                        "cosine": pa.array(cos, pa.float64())})
+        return out.filter(pc.greater_equal(out["cosine"], TFIDF_COS_TAU))
+
+    return schema_floor(
+        j.map_batches(_cos, batch_format="pyarrow"),
+        pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                      "doc_b": pd.Series(dtype=np.int64),
+                      "cosine": pd.Series(dtype=np.float64)}))
+
+
+def _sql_tfidf_cosine() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, LEAST(COUNT(*), {TFIDF_COS_TFMAX}) AS tf
+       FROM toks GROUP BY 1, 2),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+          HAVING COUNT(*) >= {TFIDF_COS_DF_MIN}
+             AND COUNT(*) <= {TFIDF_COS_DF_CAP}),
+w AS (SELECT tf.doc_id, tf.term,
+             tf.tf * ((n.n_docs * {TFIDF_COS_SCALE}) // dfreq.df) AS wt
+      FROM tf JOIN dfreq USING (term), n),
+norms AS (SELECT doc_id, SUM(wt * wt) AS nsq FROM w GROUP BY doc_id),
+dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                SUM(a.wt * b.wt) AS dot
+         FROM w a JOIN w b USING (term)
+         WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(sa.nsq AS DOUBLE))
+                              * sqrt(CAST(sb.nsq AS DOUBLE))) AS cosine
+FROM dots JOIN norms sa ON doc_a = sa.doc_id
+          JOIN norms sb ON doc_b = sb.doc_id
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(sa.nsq AS DOUBLE))
+                             * sqrt(CAST(sb.nsq AS DOUBLE)))
+      >= {TFIDF_COS_TAU}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sampler pipelines (seeded/iterative — rows-only checks; conformance is
 # asserted by pytest per the reference's own test strategy, SURVEY.md §5)
@@ -8032,6 +8247,8 @@ def build_queries() -> dict:
         "dup_rate_by_source": q_dup_rate_by_source,
         "lang_confusion": q_lang_confusion,
         "grouped_winsorize": q_grouped_winsorize,
+        "group_sample": q_group_sample,
+        "tfidf_cosine": q_tfidf_cosine,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -8229,6 +8446,8 @@ def build_oracle_sql() -> dict:
         "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
         "lang_confusion": _sql_lang_confusion(),
         "grouped_winsorize": SQL_GROUPED_WINSORIZE,
+        "group_sample": _sql_group_sample(),
+        "tfidf_cosine": _sql_tfidf_cosine(),
     }
 
 

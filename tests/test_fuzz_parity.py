@@ -41,14 +41,16 @@ DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
                "snapshot_delta", "normalize_mad",
                "token_budget_mix", "bpe_pairs", "postings", "text_canon",
                "skipgram_counts", "url_frontier",
-               "crawl_change_rate", "dup_rate_by_source", "lang_confusion"]
+               "crawl_change_rate", "dup_rate_by_source", "lang_confusion",
+               "group_sample"]
 
 # multi-shuffle / multi-join pipelines: ~5-20x the wall-clock of the list
 # above per example, so they fuzz at a reduced example count (the operator
 # count grows each round; without the split the doc fuzz alone would blow
 # the suite budget)
 DOC_QUERIES_HEAVY = ["lm_score", "dsir_weights", "ngram_containment",
-                     "ccnet_bucket", "vocab_oov", "pmi_collocations"]
+                     "ccnet_bucket", "vocab_oov", "pmi_collocations",
+                     "tfidf_cosine"]
 
 
 def _assert_parity(name, sf_dir, con):
