@@ -6923,6 +6923,32 @@ SELECT doc_id, source, ntok FROM scanned WHERE pre < {TOKEN_BUDGET}
 BPE_TOP_K = 20  # merge candidates returned per BPE counting round
 
 
+def _bpe_pair_kernel(merge: str | None = None, marker: str = "\u00a4"):
+    """Per-batch adjacent-char-pair counter over DISTINCT tokens
+    (factorize + multiplicity scatter — Zipfian token frequency makes
+    this ~20x fewer char loops than per-occurrence). With ``merge`` set,
+    the pair is first replaced by the single-char ``marker`` in every
+    token (left-to-right non-overlapping — str.replace == SQL replace),
+    which is one BPE merge application."""
+    from collections import Counter
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t["text"], " ")).to_pandas()
+        codes, uniq = pd.factorize(flat)
+        mult = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        acc: Counter = Counter()
+        for u, m in zip(uniq, mult):
+            if merge is not None:
+                u = u.replace(merge, marker)
+            for i in range(len(u) - 1):
+                acc[u[i:i + 2]] += int(m)
+        return pa.table({
+            "pair": pa.array(list(acc.keys()), pa.string()),
+            "n": pa.array(list(acc.values()), pa.int64())})
+
+    return _pairs
+
+
 def q_bpe_pairs(sf_dir: str):
     """Tokenizer training, step 1 (BPE merge-candidate counting, Sennrich
     et al. 2016): count adjacent CHARACTER pairs inside whitespace tokens
@@ -6934,23 +6960,10 @@ def q_bpe_pairs(sf_dir: str):
     to a (pair, n) table before ONE tiny groupby — pair cardinality is
     bounded by charset², independent of corpus size, so the driver pull
     and the top-K sort are O(|alphabet|²) at any scale."""
-    from collections import Counter
-
     from ray.data.aggregate import Sum
 
     ds = _docs(sf_dir, cols=("text",))
-
-    def _pairs(t: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(pc.split_pattern(t["text"], " ")).to_pandas()
-        codes, uniq = pd.factorize(flat)
-        mult = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
-        acc: Counter = Counter()
-        for u, m in zip(uniq, mult):
-            for i in range(len(u) - 1):
-                acc[u[i:i + 2]] += int(m)
-        return pa.table({
-            "pair": pa.array(list(acc.keys()), pa.string()),
-            "n": pa.array(list(acc.values()), pa.int64())})
+    _pairs = _bpe_pair_kernel()
 
     from .stages.partitioning import scrub_empty_blocks
 
@@ -6972,6 +6985,67 @@ pairs AS (
   FROM toks)
 SELECT pair, COUNT(*) AS n
 FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {BPE_TOP_K}
+"""
+
+
+def q_bpe_merge_round(sf_dir: str):
+    """Tokenizer training, step 2 (one FULL BPE iteration): find the #1
+    merge candidate (count desc, pair asc), APPLY it — the pair collapses
+    to a single merged-symbol marker in every token, left-to-right
+    non-overlapping, exactly `replace()` semantics on both engines — and
+    return the NEXT round's top-K pair table (marker-adjacent pairs now
+    appear, as in real BPE). Two corpus passes, each the charset²-bounded
+    combiner plan of `q_bpe_pairs`; the chosen merge is a broadcast
+    scalar. Assumes the marker char (¤) is absent from the corpus (real
+    BPE uses a reserved symbol id the same way)."""
+    from ray.data.aggregate import Sum
+
+    from .stages.partitioning import scrub_empty_blocks
+
+    ds = _docs(sf_dir, cols=("text",))
+
+    pre1 = scrub_empty_blocks(
+        ds.map_batches(_bpe_pair_kernel(), batch_format="pyarrow"))
+    agg1 = pre1.groupby("pair").aggregate(Sum("n", alias_name="n")) \
+               .to_pandas()
+    if "pair" in agg1.columns and len(agg1):
+        top = agg1.sort_values(["n", "pair"], ascending=[False, True],
+                               kind="mergesort").iloc[0]["pair"]
+    else:
+        top = "¤¤"  # no pairs anywhere: merge is a no-op
+
+    pre2 = scrub_empty_blocks(
+        ds.map_batches(_bpe_pair_kernel(merge=str(top)),
+                       batch_format="pyarrow"))
+    agg2 = pre2.groupby("pair").aggregate(Sum("n", alias_name="n")) \
+               .to_pandas()
+    if "pair" not in agg2.columns:
+        agg2 = pd.DataFrame({"pair": pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64)})
+    agg2 = agg2.sort_values(["n", "pair"], ascending=[False, True],
+                            kind="mergesort").head(BPE_TOP_K)
+    return agg2.reset_index(drop=True)
+
+
+SQL_BPE_MERGE_ROUND = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+p1 AS (
+  SELECT substr(w, CAST(unnest(range(1, length(w))) AS INT), 2) AS pair
+  FROM toks),
+top1 AS (SELECT pair FROM p1 GROUP BY pair
+         ORDER BY COUNT(*) DESC, pair ASC LIMIT 1),
+toks2 AS (
+  SELECT replace(w, COALESCE((SELECT pair FROM top1), '¤¤'),
+                 '¤') AS w
+  FROM toks),
+p2 AS (
+  SELECT substr(w, CAST(unnest(range(1, length(w))) AS INT), 2) AS pair
+  FROM toks2)
+SELECT pair, COUNT(*) AS n
+FROM p2 GROUP BY pair
 ORDER BY n DESC, pair ASC
 LIMIT {BPE_TOP_K}
 """
@@ -8255,6 +8329,7 @@ def build_queries() -> dict:
         "grouped_winsorize": q_grouped_winsorize,
         "group_sample": q_group_sample,
         "tfidf_cosine": q_tfidf_cosine,
+        "bpe_merge_round": q_bpe_merge_round,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -8454,6 +8529,7 @@ def build_oracle_sql() -> dict:
         "grouped_winsorize": SQL_GROUPED_WINSORIZE,
         "group_sample": _sql_group_sample(),
         "tfidf_cosine": _sql_tfidf_cosine(),
+        "bpe_merge_round": SQL_BPE_MERGE_ROUND,
     }
 
 

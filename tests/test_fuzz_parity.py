@@ -42,7 +42,7 @@ DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
                "token_budget_mix", "bpe_pairs", "postings", "text_canon",
                "skipgram_counts", "url_frontier",
                "crawl_change_rate", "dup_rate_by_source", "lang_confusion",
-               "group_sample"]
+               "group_sample", "bpe_merge_round"]
 
 # multi-shuffle / multi-join pipelines: ~5-20x the wall-clock of the list
 # above per example, so they fuzz at a reduced example count (the operator
