@@ -1524,7 +1524,7 @@ def q_domain_stats(sf_dir: str):
 SQL_DOMAIN_STATS = f"""
 SELECT regexp_extract({SQL_URL_DEDUP_RAW}, '^https://([^/]+)', 1) AS domain,
        COUNT(*) AS n_pages,
-       SUM(LENGTH(text)) AS total_chars
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1
 """
@@ -2627,9 +2627,12 @@ def q_pivot(sf_dir: str):
 
 SQL_PIVOT = """
 SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_finished,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pending,
        COUNT(*) AS n_total
 FROM orders
 GROUP BY o_orderpriority
@@ -3761,7 +3764,7 @@ def q_csv_roundtrip(sf_dir: str):
 
 SQL_CSV_ROUNDTRIP = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -3808,7 +3811,7 @@ def _sql_jsonl_roundtrip() -> str:
     from .functions.dedup import md5_int_sql
 
     return f"""
-SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        BIT_XOR({md5_int_sql('text')}) AS fp_xor
 FROM documents GROUP BY lang ORDER BY lang
 """
@@ -4776,10 +4779,10 @@ def q_tpch_q12(sf_dir: str):
 
 SQL_TPCH_Q12 = f"""
 SELECT l_returnflag,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-      AS high_line_count,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-      AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '{Q12_LO}' AND l_shipdate < TIMESTAMP '{Q12_HI}'
 GROUP BY l_returnflag
@@ -7223,7 +7226,8 @@ WITH e AS (SELECT l_partkey AS p, l_suppkey AS s, COUNT(*) AS m
            FROM lineitem GROUP BY p, s),
 a1 AS (SELECT s, SUM(m) AS a FROM e GROUP BY s),
 h1 AS (SELECT p, SUM(m * a) AS h FROM e JOIN a1 USING (s) GROUP BY p),
-a2 AS (SELECT s, SUM(m * h) AS auth FROM e JOIN h1 USING (p) GROUP BY s)
+a2 AS (SELECT s, CAST(SUM(m * h) AS BIGINT) AS auth
+       FROM e JOIN h1 USING (p) GROUP BY s)
 SELECT s AS suppkey, auth FROM a2
 """
 
@@ -8340,29 +8344,31 @@ def build_queries() -> dict:
     # reference's actual product — plus the newest operator waves) so each
     # round extends independent coverage. Local pytest still runs the whole
     # registry, so previously-validated entries stay guarded.
-    order = _DRIVER_GATE_PRIORITY + [
+    order = [n for n in _DRIVER_GATE_PRIORITY if n in queries] + [
         n for n in queries if n not in set(_DRIVER_GATE_PRIORITY)]
     return {n: queries[n] for n in order}
 
 
-# First-50 rotation for the driver gate (round 4): the 7 sampler pipelines,
-# the round-3 operator wave, and the join/window/dedup families that have
-# only local-oracle coverage so far.
+# First-50 rotation for the driver gate (round 5): tpch_q12 first (the r4
+# red row, now cast-fixed), then the 6 dtype-latent queries, then the
+# never-driver-checked round-3/round-4 operator waves, and finally the
+# entries that gained brand-new SQL oracles this round (converted from
+# no_oracle).
 _DRIVER_GATE_PRIORITY = [
-    "sampler_RandomSampler", "sampler_SpatialSampler",
-    "sampler_TargettedSampler", "sampler_DiversitySampler",
-    "sampler_OutliersSampler", "sampler_TripleSampler", "sampler_CopySampler",
-    "lm_score", "knn_eval", "revenue_share", "stream_dedup_count",
-    "label_centroids", "semdedup", "pagerank", "partitioned_roundtrip", "pack_linear",
-    "doc_chunk", "source_mix", "rebalance_lang", "bigram_counts",
-    "token_count_regex", "heavy_hitters", "tpch_q12", "cumulative_users",
-    "winsorize", "source_cap", "weighted_avg", "dow_activity",
-    "left_join", "full_join", "semi_join_shuffle", "semi_join", "range_join",
-    "bloom_anti_join", "events_lag", "events_lead", "rank_window",
-    "rolling_window", "ntile", "percent_rank", "grouped_quantiles",
-    "grouped_median", "grouped_topk", "median_price",
-    "minhash_dedup", "minhash_lsh", "contamination", "contamination_join",
-    "substring_dedup", "edit_neardup",
+    "tpch_q12", "hits", "pivot", "domain_stats",
+    "csv_roundtrip", "jsonl_roundtrip",
+    "dsir_weights", "ccnet_bucket", "snapshot_delta", "postings",
+    "pmi_collocations", "tfidf_cosine", "bpe_pairs", "bpe_merge_round",
+    "url_frontier", "vocab_oov", "normalize_mad", "token_budget_mix",
+    "text_canon", "skipgram_counts", "ngram_containment",
+    "crawl_change_rate", "dup_rate_by_source", "lang_confusion",
+    "grouped_winsorize", "group_sample", "sentence_dedup", "kmeans_lloyd",
+    "embed_covariance", "embed_whiten", "hash_split",
+    "gopher_filter", "c4_filter", "top_ngram_frac", "dup_ngram_frac",
+    "weighted_sample", "doc_rarity", "grouped_hll", "mode_flag",
+    "cross_source", "distinctive_terms", "kmeans_assign", "grouped_corr",
+    "grouped_histogram", "funnel", "zscore_outlier", "dedup_keep_best",
+    "sampler_RandomSampler", "minhash_lsh", "bpe_train_k",
 ]
 
 

@@ -29,6 +29,13 @@ def compare(ray_df: pd.DataFrame, ora_df: pd.DataFrame) -> str | None:
         return f"cols {list(ray_df.columns)} != {list(ora_df.columns)}"
     for c in ray_df.columns:
         a, b = ray_df[c], ora_df[c]
+        # Dtype-KIND strict, like the driver's canonical hash: an int64
+        # engine column vs a float64 oracle column hashes differently even
+        # when every value is equal (the r4 tpch_q12 red row). Catch the
+        # class here so the mimic can never pass what the driver fails.
+        if a.dtype.kind != b.dtype.kind and not (
+                a.dtype.kind in "OU" and b.dtype.kind in "OU"):
+            return f"dtype kind differs in {c}: {a.dtype} vs {b.dtype}"
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             if not (a.astype("float64").fillna(-1) == b.astype("float64").fillna(-1)).all():
                 return f"values differ in {c}"
