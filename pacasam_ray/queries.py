@@ -7186,8 +7186,18 @@ def q_hits(sf_dir: str):
         pre_a1.groupby("s", num_partitions=pick_partitions(pre_a1))
               .aggregate(Sum("a", alias_name="a")))
 
-    eh = e.join(a1, join_type="inner",
-                num_partitions=pick_partitions(e, a1), on=("s",))
+    from .stages.joins import safe_join
+
+    # safe_join: e/a1/h1 are aggregate-derived and can be all-empty on a
+    # degenerate lineitem — bare Dataset.join would hit the Ray 2.49
+    # schema-less hash-shuffle crash (see stages/joins.py).
+    _es = pa.schema([("p", pa.int64()), ("s", pa.int64()),
+                     ("m", pa.int64())])
+    eh = safe_join(e, a1, join_type="inner", on=("s",),
+                   num_partitions=pick_partitions(e, a1),
+                   left_schema=_es,
+                   right_schema=pa.schema([("s", pa.int64()),
+                                           ("a", pa.int64())]))
 
     def _h1_partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -7203,8 +7213,11 @@ def q_hits(sf_dir: str):
         pre_h1.groupby("p", num_partitions=pick_partitions(pre_h1))
               .aggregate(Sum("h", alias_name="h")))
 
-    ea = e.join(h1, join_type="inner",
-                num_partitions=pick_partitions(e, h1), on=("p",))
+    ea = safe_join(e, h1, join_type="inner", on=("p",),
+                   num_partitions=pick_partitions(e, h1),
+                   left_schema=_es,
+                   right_schema=pa.schema([("p", pa.int64()),
+                                           ("h", pa.int64())]))
 
     def _auth_partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -7903,9 +7916,15 @@ def q_lang_confusion(sf_dir: str):
     pred = q_lang_id(sf_dir)
     truth = read_parquet_sized(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang"])
-    j = pred.join(truth, join_type="inner",
+    from .stages.joins import safe_join
+
+    # safe_join: pred is map-derived and can be all-empty on a degenerate
+    # documents table; truth is a plain parquet read (no scrub needed).
+    j = safe_join(pred, truth, join_type="inner", on=("doc_id",),
                   num_partitions=pick_partitions(pred, truth),
-                  on=("doc_id",))
+                  left_schema=pa.schema([("doc_id", pa.int64()),
+                                         ("lang_pred", pa.string())]),
+                  scrub_right=False)
 
     def _partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({"lang": t["lang"].to_pandas(),
