@@ -186,6 +186,32 @@ def big_throughput() -> dict:
     nd = dedup_pipeline().count()
     dsec = time.perf_counter() - t1
 
+    # same dedup, vectorized 64-bit fingerprint (polars xxhash) instead of
+    # the per-row md5 loop — the non-oracle fast path callers should use
+    # when no DuckDB twin must reproduce the keys; the md5 leg above is
+    # kept for round-over-round comparability.
+    def dedup_fast_pipeline():
+        import pyarrow as pa
+        import ray.data as rd
+
+        from pacasam_ray.functions.dedup import fingerprint64_fast
+        from pacasam_ray.stages.dedup import dedup_exact_prehashed
+
+        ds = rd.read_parquet(big_dir, columns=["text", "doc_id"])
+
+        def _fp(t: pa.Table) -> pa.Table:
+            # like the md5 leg: text projected away BEFORE any exchange
+            return pa.table({"doc_id": t["doc_id"],
+                             "content_key": fingerprint64_fast(t["text"])})
+
+        return dedup_exact_prehashed(ds.map_batches(_fp, batch_format="pyarrow"),
+                                     "content_key", "doc_id")
+
+    dedup_fast_pipeline().count()  # warm (untimed)
+    t1f = time.perf_counter()
+    ndf = dedup_fast_pipeline().count()
+    dfsec = time.perf_counter() - t1f
+
     # third big leg: inverted-index build (postings) — the explode-heavy
     # shuffle shape of the round-4 wave: text → (term, doc_id) pairs (many
     # rows per doc) → term-hash shuffle → run-length string_agg kernel.
@@ -251,6 +277,9 @@ def big_throughput() -> dict:
         "big_dedup_rows": nd,
         "big_dedup_sec": round(dsec, 3),
         "big_dedup_docs_per_sec": round(n / dsec, 1),
+        "big_dedup_fast_rows": ndf,
+        "big_dedup_fast_sec": round(dfsec, 3),
+        "big_dedup_fast_docs_per_sec": round(n / dfsec, 1),
         "big_postings_terms": np_rows,
         "big_postings_sec": round(psec, 3),
         "big_postings_docs_per_sec": round(n / psec, 1),

@@ -51,6 +51,22 @@ def md5_int_sql(expr: str, nhex: int = MD5_HEX) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, {nhex})) AS BIGINT)"
 
 
+MINHASH_SALT_A = 7001  # hmix salt namespaces for permutation params
+MINHASH_SALT_B = 7002
+
+
+def minhash_perm_params(num_perm: int, seed: int) -> tuple:
+    """MinHash permutation params a ∈ [1, P31), b ∈ [0, P31) as pure hmix
+    functions of (perm index, seed) — bit-reproducible in SQL via hmix_sql
+    with the same salts (see queries._sql_minhash_lsh)."""
+    from ..hashing import hmix
+
+    idx = np.arange(num_perm, dtype=np.int64)
+    a = hmix(idx, MINHASH_SALT_A + seed) % np.int64(P31 - 1) + 1
+    b = hmix(idx, MINHASH_SALT_B + seed) % np.int64(P31)
+    return a, b
+
+
 def word_ngrams(text: str, n: int) -> list[str]:
     """Distinct word n-grams, split on single spaces (== DuckDB string_split)."""
     w = text.split(" ")
@@ -68,17 +84,44 @@ def word_ngrams(text: str, n: int) -> list[str]:
 # Exact content dedup
 # ---------------------------------------------------------------------------
 
-def dedup_text_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Exact content dedup: md5(text) fingerprint → hash-shuffle → keep the
+def fingerprint64_fast(col) -> pa.Array:
+    """Vectorized 64-bit content fingerprint (no per-row Python): polars'
+    Rust xxhash over the Arrow string column, falling back to pandas'
+    C-level siphash when polars is unavailable. NOT md5-portable — use
+    :func:`md5_int` when a DuckDB oracle twin must reproduce the keys;
+    use this everywhere else (the per-row Python md5 loop was measured as
+    the exact-dedup throughput ceiling, not the shuffle)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    try:
+        import polars as pl
+
+        h = pl.from_arrow(arr).hash(seed=0).to_numpy()
+        return pa.array(h.view(np.int64), pa.int64())
+    except ImportError:
+        h = pd.util.hash_array(arr.to_numpy(zero_copy_only=False))
+        return pa.array(h.view(np.int64), pa.int64())
+
+
+def dedup_text_exact(ds, text_col: str = "text", id_col: str = "doc_id",
+                     method: str = "md5"):
+    """Exact content dedup: content fingerprint → hash-shuffle → keep the
     min-id representative per fingerprint group. Partition-count invariant
     (the representative is a deterministic function of the group, never
-    "first seen")."""
+    "first seen"). ``method``: "md5" (hex digest; reproducible by a DuckDB
+    oracle) or "fast" (:func:`fingerprint64_fast`, vectorized — the scale
+    default when no oracle twin is required)."""
     from ..stages.dedup import dedup_exact_prehashed
 
-    def _fp(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        fps = pa.array([hashlib.md5(x.encode()).hexdigest() for x in texts])
-        return t.append_column("content_key", fps)
+    if method == "fast":
+        def _fp(t: pa.Table) -> pa.Table:
+            return t.append_column("content_key",
+                                   fingerprint64_fast(t[text_col]))
+    else:
+        def _fp(t: pa.Table) -> pa.Table:
+            texts = t[text_col].to_pylist()
+            fps = pa.array([hashlib.md5(x.encode()).hexdigest()
+                            for x in texts])
+            return t.append_column("content_key", fps)
 
     return dedup_exact_prehashed(
         ds.map_batches(_fp, batch_format="pyarrow"), "content_key", id_col
@@ -271,17 +314,19 @@ WHERE {expr} >= {tau!r}
 # ---------------------------------------------------------------------------
 
 class MinHashSignatures:
-    """Actor-pool stage: permutation parameters drawn once per actor from a
-    fixed seed; gram→hash memoised across batches (the stateful-stage shape,
+    """Actor-pool stage: hmix-derived permutation parameters built once per
+    actor; gram→hash memoised across batches (the stateful-stage shape,
     SURVEY.md §2.3). Emits one row per (doc, band): bucket key + signature.
     """
 
     def __init__(self, num_perm: int = 128, bands: int = 32, n: int = 3,
                  seed: int = 11, text_col: str = "text", id_col: str = "doc_id"):
         assert num_perm % bands == 0
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, P31, num_perm, dtype=np.int64)
-        self.b = rng.integers(0, P31, num_perm, dtype=np.int64)
+        # Permutation parameters from hmix, not an RNG: a pure function of
+        # (perm index, seed) that hmix_sql reproduces verbatim, which is
+        # what lets _sql_minhash_lsh (queries.py) rebuild the signatures —
+        # and therefore the candidate-pair set — inside DuckDB.
+        self.a, self.b = minhash_perm_params(num_perm, seed)
         self.num_perm, self.bands, self.rows = num_perm, bands, num_perm // bands
         self.n, self.text_col, self.id_col = n, text_col, id_col
         self._cache: dict[str, int] = {}
@@ -351,8 +396,9 @@ def minhash_lsh_pairs(ds, num_perm: int = 128, bands: int = 32, n: int = 3,
 
     The signature est converges to true Jaccard (±1/sqrt(num_perm)); exact
     post-verification is :func:`ngram_jaccard_pairs` restricted to these
-    candidates. Rows-only correctness check (seeded, not SQL-expressible);
-    pytest cross-checks recall against the exact join at small scale.
+    candidates. Permutation params are hmix-derived, so queries.py's
+    generated SQL twin reproduces the pair set bit-for-bit; pytest
+    additionally cross-checks recall against the exact join at small scale.
     """
     import ray as _ray
     from ray.data.aggregate import Count, Min

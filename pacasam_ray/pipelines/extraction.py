@@ -103,7 +103,14 @@ def _shard_of(file_ids: pd.Series, num_shards: int,
             acc = (acc * 131 + ch) % 1_000_000_007
         return acc
 
-    folded = file_ids.map(fold).to_numpy(dtype=np.int64)
+    # Slab keys repeat heavily within a batch (thousands of patches per
+    # slab), so fold only the uniques and scatter — the per-row Python
+    # byte loop this replaces was the map-stage bottleneck of the
+    # materialization pipeline on wide inputs.
+    codes, uniq = pd.factorize(file_ids.to_numpy(), sort=False)
+    ufold = np.fromiter((fold(s) for s in uniq), dtype=np.int64,
+                        count=len(uniq))
+    folded = ufold[codes] if len(uniq) else np.zeros(0, dtype=np.int64)
     if slab_salt > 1 and patch_ids is not None:
         # Hot-slab salting: spread each slab across up to ``slab_salt``
         # shards (deterministic in patch_id), so one giant slab cannot pin

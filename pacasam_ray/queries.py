@@ -1362,17 +1362,34 @@ SELECT doc_id, text, md5(text) AS content_key FROM both_
 QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 """
 
+WEIGHTED_SALT = 77
+
+
 def q_weighted_sample(sf_dir: str):
-    """Efraimidis–Spirakis weighted sample (inclusion ∝ n_chars): rows-only
-    (−ln is not bit-portable to SQL); pytest asserts determinism,
-    partition-invariance, zero-weight exclusion and stratified
-    proportionality."""
-    from .samplers.algos import sample_weighted
+    """Weighted sample, inclusion ∝ n_chars, via sequential Poisson
+    sampling (Ohlsson 1998): rank ξ = (hmix(doc_id)+1)/n_chars, keep the n
+    smallest. The key is one exactly-rounded IEEE division of two exact
+    integers, so the DuckDB oracle reproduces the selection bit-for-bit —
+    unlike the Efraimidis–Spirakis −ln(u)/w key (still available as
+    samplers/algos.sample_weighted), whose libm transcendental has no
+    cross-engine ulp guarantee."""
+    from .samplers.algos import sample_weighted_sps
 
     ds = _docs(sf_dir, cols=("doc_id", "n_chars"))
-    out = sample_weighted(ds, RANDOM_N, salt=77, weight_col="n_chars",
-                          key="doc_id")
+    out = sample_weighted_sps(ds, RANDOM_N, salt=WEIGHTED_SALT,
+                              weight_col="n_chars", key="doc_id")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_weighted_sample() -> str:
+    xi = (f"CAST({hmix_sql('doc_id', WEIGHTED_SALT)} + 1 AS DOUBLE)"
+          f" / CAST(n_chars AS DOUBLE)")
+    return f"""
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars > 0
+ORDER BY {xi}, doc_id
+LIMIT {RANDOM_N}
+"""
 
 
 GROUPED_TOPK_K = 3
@@ -1757,13 +1774,71 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 
 def q_minhash_lsh(sf_dir: str):
     """MinHash(128)+LSH(32 bands) candidate pairs with estimated Jaccard.
-    Rows-only (seeded permutations); pytest checks recall vs the exact join."""
+    Permutation params are hmix-derived (functions/dedup.py
+    minhash_perm_params), so the generated SQL twin rebuilds the exact
+    signatures in DuckDB and reproduces the pair set bit-for-bit; pytest
+    additionally checks recall vs the exact n-gram Jaccard join."""
     from .functions.dedup import minhash_lsh_pairs
 
     out = minhash_lsh_pairs(_docs(sf_dir), tau=JACCARD_TAU)
     return out.map_batches(
         lambda df: df[["doc_a", "doc_b", "est_jaccard"]], batch_format="pandas"
     )
+
+
+def _sql_minhash_lsh(num_perm: int = 128, bands: int = 32, n: int = 3,
+                     seed: int = 11, tau: float = JACCARD_TAU) -> str:
+    """Generated SQL twin of q_minhash_lsh: signatures are rebuilt from
+    hmix permutation params + the md5-portable 28-bit gram hash; candidate
+    pairs are docs sharing ALL rows of some band (the engine's bucket-fold
+    hash of those rows can only differ from this by an ~2^-60 int64 fold
+    collision); est_jaccard = band-agnostic signature agreement /
+    num_perm, a dyadic rational both engines represent exactly. Docs with
+    no n-gram (< n words) take the engine's P31-1 sentinel signature via
+    COALESCE, so they pair with each other exactly as the engine does."""
+    from .functions.dedup import (MINHASH_SALT_A, MINHASH_SALT_B, P31,
+                                  md5_int_sql)
+
+    rows = num_perm // bands
+    grams = " || ' ' || ".join(f"ws[i+{k}]" for k in range(n))
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(ws) - {n - 2}),
+                               i -> {grams})) AS g
+  FROM w),
+hs AS (SELECT doc_id, {md5_int_sql('g', 7)} AS h FROM grams),
+perms AS (
+  SELECT i AS perm,
+         {hmix_sql('i', MINHASH_SALT_A + seed)} % {P31 - 1} + 1 AS a,
+         {hmix_sql('i', MINHASH_SALT_B + seed)} % {P31} AS b
+  FROM range({num_perm}) t(i)),
+sig AS (
+  SELECT d.doc_id, p.perm,
+         COALESCE(MIN((p.a * hs.h + p.b) % {P31}), {P31 - 1}) AS v
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN perms p
+  LEFT JOIN hs ON hs.doc_id = d.doc_id
+  GROUP BY 1, 2),
+bandkeys AS (
+  SELECT doc_id, perm // {rows} AS band,
+         string_agg(CAST(v AS VARCHAR), ',' ORDER BY perm) AS bkey
+  FROM sig GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bandkeys x JOIN bandkeys y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+SELECT c.doc_a, c.doc_b,
+       CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE)
+       / {num_perm} AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+GROUP BY 1, 2
+HAVING CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE)
+       / {num_perm} >= {tau}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -6886,6 +6961,14 @@ def q_token_budget_mix(sf_dir: str):
 
     def _prep(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # rk is unique per doc ONLY while doc_id < 2**31 (the fold keeps
+        # doc_id mod 2**31); past that, ties would make budget membership
+        # order-dependent in grouped_prefix_sum AND ambiguous in the SQL
+        # twin's ORDER BY rk — fail loudly instead of silently diverging.
+        if len(ids) and ids.max() >= np.int64(2**31):
+            raise ValueError(
+                "token_budget_mix order key requires doc_id < 2**31; "
+                "re-key the corpus or widen the order key to a composite")
         rk = hmix(ids, SALT_MIX) * np.int64(2**31) + ids % np.int64(2**31)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
@@ -7052,6 +7135,108 @@ FROM p2 GROUP BY pair
 ORDER BY n DESC, pair ASC
 LIMIT {BPE_TOP_K}
 """
+
+
+BPE_TRAIN_K = 3  # merge rounds learned by the multi-round trainer
+# one fresh reserved marker char per round (assumed absent from the corpus,
+# like real BPE's reserved symbol ids) — freshness makes each round's
+# replace injective on the vocab, so multiplicities never need re-grouping
+BPE_MARKERS = "¤¥¦§¨©"
+
+
+def q_bpe_train_k(sf_dir: str, k: int = BPE_TRAIN_K):
+    """Multi-round BPE TRAINER (Sennrich et al. 2016): learn the first K
+    merges — per round, find the most frequent adjacent symbol pair
+    (count desc, pair asc), apply it corpus-wide, repeat. Returns the
+    merge table (round, pair, n): the learned tokenizer.
+
+    Scale plan — the real-trainer shape, not K corpus passes: ONE corpus
+    scan builds the weighted vocab (distinct token, multiplicity) — Zipf
+    makes it orders of magnitude smaller than the corpus — then every
+    round runs over the CHECKPOINTED vocab only: pair counts are a
+    charset²-bounded combiner + driver-side argmax, and the merge
+    application is one vectorized Arrow replace_substring over vocab
+    tokens (left-to-right non-overlapping == Python str.replace == SQL
+    replace). K checkpoints of a small table; the corpus is never
+    re-read."""
+    from ray.data.aggregate import Sum
+
+    from .stages.partitioning import checkpoint, scrub_empty_blocks
+
+    ds = _docs(sf_dir, cols=("text",))
+
+    def _vocab_partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        vc = pa.TableGroupBy(pa.table({"tok": flat}), "tok").aggregate(
+            [([], "count_all")])
+        return vc.rename_columns(["tok", "mult"])
+
+    vocab = scrub_empty_blocks(
+        ds.map_batches(_vocab_partial, batch_format="pyarrow")) \
+        .groupby("tok").aggregate(Sum("mult", alias_name="mult"))
+    vocab = checkpoint(vocab, "bpe_vocab_r0")
+
+    def _pair_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        mult = t["mult"].to_numpy(zero_copy_only=False)
+        acc: Counter = Counter()
+        for tok, m in zip(t["tok"].to_pylist(), mult):
+            for i in range(len(tok) - 1):
+                acc[tok[i:i + 2]] += int(m)
+        return pa.table({"pair": pa.array(list(acc.keys()), pa.string()),
+                         "n": pa.array(list(acc.values()), pa.int64())})
+
+    merges = []
+    for r in range(k):
+        agg = scrub_empty_blocks(
+            vocab.map_batches(_pair_partial, batch_format="pyarrow")) \
+            .groupby("pair").aggregate(Sum("n", alias_name="n")).to_pandas()
+        if "pair" not in agg.columns or not len(agg):
+            break
+        top = agg.sort_values(["n", "pair"], ascending=[False, True],
+                              kind="mergesort").iloc[0]
+        merges.append({"round": np.int64(r + 1), "pair": top["pair"],
+                       "n": np.int64(top["n"])})
+        if r + 1 < k:
+            pair, marker = str(top["pair"]), BPE_MARKERS[r]
+
+            def _apply(t: pa.Table, _p=pair, _m=marker) -> pa.Table:
+                return pa.table({
+                    "tok": pc.replace_substring(t["tok"], pattern=_p,
+                                                replacement=_m),
+                    "mult": t["mult"]})
+
+            vocab = checkpoint(
+                vocab.map_batches(_apply, batch_format="pyarrow"),
+                f"bpe_vocab_r{r + 1}")
+    if not merges:
+        return pd.DataFrame({"round": pd.Series(dtype=np.int64),
+                             "pair": pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64)})
+    return pd.DataFrame(merges)
+
+
+def _sql_bpe_train_k(k: int = BPE_TRAIN_K) -> str:
+    """Unrolled-CTE twin of q_bpe_train_k: toks_{i} = replace(toks_{i-1},
+    merge_i, marker_i); top_i = argmax pair count (count desc, pair asc)."""
+    parts = ["WITH t0 AS (SELECT unnest(string_split(text, ' ')) AS w "
+             "FROM documents)"]
+    outs = []
+    for r in range(1, k + 1):
+        parts.append(f"""
+p{r} AS (SELECT substr(w, CAST(unnest(range(1, length(w))) AS INT), 2) AS pair
+        FROM t{r - 1}),
+top{r} AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p{r}
+          GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1)""")
+        if r < k:
+            m = BPE_MARKERS[r - 1]
+            parts.append(f"""
+t{r} AS (SELECT replace(w, COALESCE((SELECT pair FROM top{r}), '{m}{m}'),
+                        '{m}') AS w FROM t{r - 1})""")
+        outs.append(f"SELECT CAST({r} AS BIGINT) AS round, pair, n "
+                    f"FROM top{r}")
+    return ",".join(parts) + "\n" + "\nUNION ALL ".join(outs)
 
 
 def q_postings(sf_dir: str):
@@ -7344,8 +7529,10 @@ def q_url_frontier(sf_dir: str):
     pages = pages_from_documents(sf_dir)
 
     def _host(t: pa.Table) -> pa.Table:
-        ids = pc.cast(pc.utf8_slice_codeunits(
-            t["url"], start=-9, stop=99), pa.int64())
+        # parse the digits after '/p/' — a fixed-width tail slice silently
+        # truncates doc_ids past make_url's 9-digit zero-pad (>= 1e9)
+        ids = pc.cast(pc.struct_field(
+            pc.extract_regex(t["url"], r"/p/(?P<id>\d+)$"), "id"), pa.int64())
         host = pc.extract_regex(t["url"], r"https://(?P<h>[^/]+)/")
         idn = ids.to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
@@ -8006,8 +8193,12 @@ def q_tfidf_cosine(sf_dir: str):
     Ray's partition-order-nondeterministic Sum and DuckDB's SUM agree
     bit-for-bit — a float dot product would not); the only float is the
     final mirrored expression dot / (sqrt(na)·sqrt(nb)) ≥ τ. Int64
-    bound: holds to N ≈ 10⁵ docs per the wt ≤ tf_max·N·16/df_min
-    analysis; past that, rescale SCALE down or band the corpus."""
+    bound: a single wt ≤ tf_max·N·16/df_min, but the per-doc Σwt² norm
+    (and per-pair Σwa·wb dot) scales with the per-doc banded-term count T,
+    so the real bound is T·(2040·N)² < 2⁶³ — e.g. T=200 banded terms/doc
+    caps N ≈ 10⁵. Rather than trust the estimate, exact counts are carried
+    through both aggregates and checked (see _check_bound): overflow
+    raises instead of silently wrapping (numpy) vs promoting (DuckDB)."""
     from ray.data.aggregate import Sum
 
     from .stages.joins import safe_join
@@ -8061,17 +8252,38 @@ def q_tfidf_cosine(sf_dir: str):
     w = checkpoint(wj.map_batches(_wt, batch_format="pyarrow"),
                    "tfidf_cos_w")
 
+    # Largest possible single weight — the basis of the int64 overflow
+    # guard below: nsq <= cnt * wt_max^2 and dot <= npair * wt_max^2, so
+    # carrying exact counts through the aggregates turns "did the int64
+    # sum wrap?" into a provable post-aggregate check (numpy wraps
+    # silently while DuckDB promotes to HUGEINT — the engines would
+    # otherwise diverge without an error).
+    wt_max = float(TFIDF_COS_TFMAX
+                   * (n_docs * TFIDF_COS_SCALE // TFIDF_COS_DF_MIN))
+
+    def _check_bound(t: pa.Table, cnt_col: str, what: str) -> pa.Table:
+        cnts = t[cnt_col].to_numpy(zero_copy_only=False)
+        if len(cnts) and float(cnts.max()) * wt_max * wt_max >= float(2**63):
+            raise ValueError(
+                f"tfidf_cosine {what} int64 sum may overflow "
+                f"(max terms/group {cnts.max()}, wt_max {wt_max:.3g}); "
+                "lower TFIDF_COS_SCALE or band the corpus")
+        return t.drop_columns([cnt_col])
+
     def _norm_partial(t: pa.Table) -> pa.Table:
         wt = t["wt"].to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(
-            zero_copy_only=False), "nsq": wt * wt})
+            zero_copy_only=False), "nsq": wt * wt, "cnt": np.int64(1)})
         return pa.Table.from_pandas(
             df.groupby("doc_id", sort=False, as_index=False).sum(),
             preserve_index=False)
 
     np_ = w.map_batches(_norm_partial, batch_format="pyarrow")
     norms = np_.groupby("doc_id", num_partitions=pick_partitions(np_)) \
-               .aggregate(Sum("nsq", alias_name="nsq"))
+               .aggregate(Sum("nsq", alias_name="nsq"),
+                          Sum("cnt", alias_name="cnt")) \
+               .map_batches(lambda t: _check_bound(t, "cnt", "norm"),
+                            batch_format="pyarrow")
 
     wa = w.map_batches(
         lambda t: t.rename_columns(
@@ -8095,7 +8307,8 @@ def q_tfidf_cosine(sf_dir: str):
             "doc_a": t["doc_a"].to_numpy(zero_copy_only=False),
             "doc_b": t["doc_b"].to_numpy(zero_copy_only=False),
             "dot": t["wa"].to_numpy(zero_copy_only=False)
-                   * t["wb"].to_numpy(zero_copy_only=False)})
+                   * t["wb"].to_numpy(zero_copy_only=False),
+            "npair": np.int64(1)})
         return pa.Table.from_pandas(
             df.groupby(["doc_a", "doc_b"], sort=False, as_index=False).sum(),
             preserve_index=False)
@@ -8103,7 +8316,10 @@ def q_tfidf_cosine(sf_dir: str):
     prod_pre = pairs.map_batches(_prod, batch_format="pyarrow")
     dots = prod_pre.groupby(["doc_a", "doc_b"],
                             num_partitions=pick_partitions(prod_pre)) \
-                   .aggregate(Sum("dot", alias_name="dot"))
+                   .aggregate(Sum("dot", alias_name="dot"),
+                              Sum("npair", alias_name="npair")) \
+                   .map_batches(lambda t: _check_bound(t, "npair", "dot"),
+                                batch_format="pyarrow")
 
     _dots_s = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                          ("dot", pa.int64())])
@@ -8182,6 +8398,150 @@ def _sampler_query(name: str):
 
     _q.__name__ = f"q_sampler_{name}"
     return _q
+
+
+def _sql_stratified_pick(src: str, n_expr: str, salt: int,
+                         strata: str = "file_id",
+                         max_rounds: int = 50) -> str:
+    """SQL twin of O2 stratified sampling with iterative completion
+    (samplers/base.py sample_with_stratification_df and its distributed
+    sibling samplers/algos.py sample_with_stratification).
+
+    The reference's round-0-quota + (+1 per stratum per round) loop has a
+    CLOSED FORM: a row with in-stratum hash-rank position g (1-based) first
+    becomes eligible in round max(g - quota, 0), and each round consumes
+    candidates in global rank order until n — so the selection is exactly
+    the top-n by the key (GREATEST(g - quota, 0), rank, patch_id), capped
+    at max_rounds completion rounds. (Fuzz-validated 300/300 vs the
+    iterative implementation; round-0 overshoot trimming cannot interact
+    with completion rounds because a trim means the target is already
+    met.) Returns a SELECT yielding the picked patch_ids from ``src``
+    (a CTE name with patch_id + strata columns)."""
+    rank = hmix_sql("patch_id", salt)
+    return f"""
+  SELECT patch_id FROM (
+    SELECT patch_id, {rank} AS r,
+           ROW_NUMBER() OVER (PARTITION BY {strata}
+                              ORDER BY {rank}, patch_id) AS g
+    FROM {src}) ranked,
+    (SELECT GREATEST(1, ({n_expr})
+                        // GREATEST(COUNT(DISTINCT {strata}), 1)) AS quota,
+            COUNT(*) AS total FROM {src}) p
+  WHERE ranked.g - p.quota <= {max_rounds} OR p.total <= ({n_expr})
+  ORDER BY GREATEST(ranked.g - p.quota, 0), ranked.r, ranked.patch_id
+  LIMIT ({n_expr})"""
+
+
+def _sql_sampler_targetted(n: int, frac: float) -> str:
+    """Full SQL oracle for TargettedSampler (samplers/targetted.py): per
+    criterion (ascending target proportion) an M1-filtered O2 pick of
+    int(prop·n) rows + per-pool O9 val split; union deduped keep-first
+    (= min criterion priority); then the SpatialSampler completion over
+    the excluded remainder with the RESIDUAL val fraction
+    (num_val_to_add/num_to_add) — mirroring the engine's edge rules:
+    num_to_add == 0 falls through to a full-n spatial pick with
+    split='test' (frac 0.0 is falsy), overshoot (nsel > n) skips
+    completion, and a negative residual clamps the val pick to empty."""
+    from math import floor
+
+    from .samplers.base import SALT_TARGETTED, SALT_VAL
+    from .samplers.targetted import TargettedSampler
+
+    targets = TargettedSampler.sorted_targets(
+        DEFAULT_CONFIG["TargettedSampler"]["targets"])
+    total_val = floor(frac * n)
+    ctes = [f"cat AS MATERIALIZED ({CAT})"]
+    sels = []
+    for i, (col, obj) in enumerate(targets.items()):
+        ni = int(obj["target_min_samples_proportion"] * n)
+        salt = SALT_TARGETTED + i
+        ctes.append(f"src{i} AS MATERIALIZED (SELECT patch_id, file_id FROM cat "
+                    f"WHERE {col})")
+        ctes.append(
+            f"pool{i} AS MATERIALIZED (SELECT s.patch_id, s.file_id FROM src{i} s "
+            f"JOIN ({_sql_stratified_pick(f'src{i}', str(ni), salt)}) p "
+            f"ON s.patch_id = p.patch_id)")
+        nv = (f"CAST(FLOOR({frac} * (SELECT COUNT(*) FROM pool{i})) "
+              f"AS BIGINT)")
+        ctes.append(
+            f"val{i} AS MATERIALIZED ({_sql_stratified_pick(f'pool{i}', nv, SALT_VAL)})")
+        sels.append(
+            f"SELECT pool{i}.patch_id, CASE WHEN val{i}.patch_id IS NOT "
+            f"NULL THEN 'val' ELSE 'train' END AS split, {i} AS pri "
+            f"FROM pool{i} LEFT JOIN val{i} "
+            f"ON pool{i}.patch_id = val{i}.patch_id")
+    ctes.append("uni AS MATERIALIZED (" + " UNION ALL ".join(sels) + ")")
+    ctes.append("ded AS MATERIALIZED (SELECT patch_id, split FROM uni "
+                "QUALIFY ROW_NUMBER() OVER (PARTITION BY patch_id "
+                "ORDER BY pri) = 1)")
+    ctes.append("base AS MATERIALIZED (SELECT COUNT(*) AS nsel, "
+                "COALESCE(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END), "
+                "0) AS nvalsel FROM ded)")
+    comp_n = (f"(SELECT CASE WHEN {n} - nsel < 0 THEN 0 "
+              f"WHEN {n} - nsel = 0 THEN {n} "
+              f"ELSE {n} - nsel END FROM base)")
+    ctes.append("rest AS MATERIALIZED (SELECT patch_id, file_id FROM cat "
+                "WHERE patch_id NOT IN (SELECT patch_id FROM ded))")
+    ctes.append(
+        f"comp AS MATERIALIZED (SELECT r.patch_id, r.file_id FROM rest r "
+        f"JOIN ({_sql_stratified_pick('rest', comp_n, SALT_SPATIAL)}) p "
+        f"ON r.patch_id = p.patch_id)")
+    compnv = (
+        f"(SELECT CASE WHEN ({n} - nsel) = 0 OR ({total_val} - nvalsel) = 0 "
+        f"THEN 0 ELSE GREATEST(CAST(FLOOR("
+        f"(CAST({total_val} - nvalsel AS DOUBLE) / "
+        f"CAST({n} - nsel AS DOUBLE)) * (SELECT COUNT(*) FROM comp)) "
+        f"AS BIGINT), 0) END FROM base)")
+    ctes.append(f"compval AS MATERIALIZED ({_sql_stratified_pick('comp', compnv, SALT_VAL)})")
+    comp_split = (
+        f"CASE WHEN (SELECT ({n} - nsel) = 0 OR ({total_val} - nvalsel) = 0 "
+        f"FROM base) THEN 'test' "
+        f"WHEN compval.patch_id IS NOT NULL THEN 'val' ELSE 'train' END")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT patch_id, split, 'TargettedSampler' AS sampler FROM ded
+UNION ALL
+SELECT comp.patch_id, {comp_split} AS split, 'SpatialSampler' AS sampler
+FROM comp LEFT JOIN compval ON comp.patch_id = compval.patch_id""")
+
+
+def _sql_sampler(name: str) -> str:
+    """Full SQL oracle for a sampler pipeline: catalogue -> selection ->
+    O9 val split (frac_validation_set of the selection, stratified over
+    file_id with SALT_VAL) -> (patch_id, split, sampler). The selection
+    rule is the sampler's own deterministic hash-rank arithmetic
+    (hashing.py hmix, mirrored exactly by hmix_sql), so the whole pipeline
+    is a pure function of the input table — no RNG state anywhere."""
+    from .samplers.base import SALT_VAL
+
+    n = DEFAULT_CONFIG["target_total_num_patches"]
+    frac = DEFAULT_CONFIG["frac_validation_set"]
+    if name == "CopySampler":
+        return (f"SELECT patch_id, CAST(NULL AS VARCHAR) AS split, "
+                f"'CopySampler' AS sampler FROM ({CAT}) cat")
+    if name == "TargettedSampler":
+        return _sql_sampler_targetted(n, frac)
+    if name == "RandomSampler":
+        sel = f"""
+  SELECT patch_id, file_id FROM cat
+  ORDER BY {hmix_sql('patch_id', SALT_RANDOM)}, patch_id
+  LIMIT {n}"""
+    elif name == "SpatialSampler":
+        sel = f"""
+  SELECT cat.patch_id, cat.file_id FROM cat
+  JOIN ({_sql_stratified_pick('cat', str(n), SALT_SPATIAL)}) pick
+  ON cat.patch_id = pick.patch_id"""
+    else:
+        raise KeyError(name)
+    nval = f"CAST(FLOOR({frac} * (SELECT COUNT(*) FROM sel)) AS BIGINT)"
+    return f"""
+WITH cat AS ({CAT}),
+sel AS ({sel}),
+val AS ({_sql_stratified_pick('sel', nval, SALT_VAL)})
+SELECT sel.patch_id,
+       CASE WHEN val.patch_id IS NOT NULL THEN 'val' ELSE 'train' END AS split,
+       '{name}' AS sampler
+FROM sel LEFT JOIN val ON sel.patch_id = val.patch_id
+"""
 
 
 def build_queries() -> dict:
@@ -8353,6 +8713,7 @@ def build_queries() -> dict:
         "group_sample": q_group_sample,
         "tfidf_cosine": q_tfidf_cosine,
         "bpe_merge_round": q_bpe_merge_round,
+        "bpe_train_k": q_bpe_train_k,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -8384,10 +8745,12 @@ _DRIVER_GATE_PRIORITY = [
     "grouped_winsorize", "group_sample", "sentence_dedup", "kmeans_lloyd",
     "embed_covariance", "embed_whiten", "hash_split",
     "gopher_filter", "c4_filter", "top_ngram_frac", "dup_ngram_frac",
-    "weighted_sample", "doc_rarity", "grouped_hll", "mode_flag",
-    "cross_source", "distinctive_terms", "kmeans_assign", "grouped_corr",
-    "grouped_histogram", "funnel", "zscore_outlier", "dedup_keep_best",
-    "sampler_RandomSampler", "minhash_lsh", "bpe_train_k",
+    "weighted_sample", "doc_rarity", "grouped_hll",
+    "distinctive_terms", "kmeans_assign", "grouped_corr",
+    "grouped_histogram", "funnel", "dedup_keep_best",
+    "sampler_RandomSampler", "sampler_SpatialSampler",
+    "sampler_TargettedSampler", "sampler_CopySampler",
+    "minhash_lsh", "bpe_train_k",
 ]
 
 
@@ -8555,6 +8918,17 @@ def build_oracle_sql() -> dict:
         "group_sample": _sql_group_sample(),
         "tfidf_cosine": _sql_tfidf_cosine(),
         "bpe_merge_round": SQL_BPE_MERGE_ROUND,
+        # Sampler pipelines whose selection is pure hmix arithmetic get
+        # FULL SQL oracles (selection + O9 val split); Diversity/Outliers/
+        # Targetted/Triple involve FPS / clustering / quota iteration and
+        # stay conformance-tested by pytest instead.
+        "sampler_RandomSampler": _sql_sampler("RandomSampler"),
+        "sampler_SpatialSampler": _sql_sampler("SpatialSampler"),
+        "sampler_CopySampler": _sql_sampler("CopySampler"),
+        "sampler_TargettedSampler": _sql_sampler("TargettedSampler"),
+        "weighted_sample": _sql_weighted_sample(),
+        "minhash_lsh": _sql_minhash_lsh(),
+        "bpe_train_k": _sql_bpe_train_k(),
     }
 
 

@@ -153,6 +153,33 @@ def sample_weighted(ds, n: int, salt: int, weight_col: str,
     return tbl.drop_columns(RANK_COL).to_pandas()
 
 
+def sample_weighted_sps(ds, n: int, salt: int, weight_col: str,
+                        key: str = "patch_id",
+                        columns: list[str] | None = None) -> pd.DataFrame:
+    """Sequential Poisson sampling (Ohlsson 1998): rank ξ = u/w from a
+    deterministic uniform u, take the n smallest — first-order inclusion
+    probability ∝ weight, like :func:`sample_weighted`, but the key is ONE
+    exactly-rounded IEEE division of two integers ((hmix+1)/w), so a SQL
+    oracle reproduces the selection bit-for-bit (−ln in the E–S key has no
+    such cross-engine guarantee). Rows with weight ≤ 0 are excluded before
+    keying. Prefer this variant when the selection must be independently
+    auditable; E–S when exact WOR semantics matter."""
+    def _key(batch: pa.Table) -> pa.Table:
+        t = batch.select(columns) if columns else batch
+        w64 = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = t.filter(pa.array(w64 > 0))
+        r = rank_key(t[key].to_numpy(zero_copy_only=False), salt)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        xi = (r.astype(np.float64) + 1.0) / w
+        return t.append_column(RANK_COL, pa.array(xi))
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = smallest_n(keyed, n, col=RANK_COL, tiebreak=key)
+    if tbl is None:
+        return pd.DataFrame()
+    return tbl.drop_columns(RANK_COL).to_pandas()
+
+
 def strata_counts(ranked, strata: str) -> pd.DataFrame:
     """Per-strata row counts WITHOUT a shuffle: per-batch partial
     value_counts (combiner) → tiny driver-side merge. Strata cardinality is

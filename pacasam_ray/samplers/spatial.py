@@ -1,4 +1,20 @@
-"""SpatialSampler (reference: src/pacasam/samplers/spatial.py:8-21)."""
+"""SpatialSampler — slab-stratified patch sampling as a Ray Data pipeline.
+
+Behavioral contract from the reference (src/pacasam/samplers/spatial.py:8-21);
+the physical plan is this engine's own and is the repo's dominant-shuffle
+case study:
+
+- per-slab (file_id) quotas with the reference's iterative completion are
+  computed by ``samplers/algos.sample_with_stratification``: one
+  shuffle-free counts scan solves the exact completion depth up front, so
+  ONE pruned groupby shuffle (ids only — payload columns are projected out
+  before the exchange) replaces the reference's per-round passes;
+- the per-row rank is deterministic hmix arithmetic, making the whole
+  selection — including the completion rounds, via their closed form
+  ORDER BY (GREATEST(g - quota, 0), rank) — reproducible by the generated
+  DuckDB oracle in queries.py;
+- exclusion ids are a ``ray.put`` broadcast filter, never a shuffle join.
+"""
 
 from __future__ import annotations
 
@@ -11,24 +27,24 @@ from .base import FILE_ID_COLNAME, SALT_SPATIAL, Sampler
 
 
 class SpatialSampler(Sampler):
-    """Stratified sampling by slab (file_id) — the engine's dominant shuffle.
+    def get_patches(self, catalogue, num_to_sample=None,
+                    current_selection_ids=(), **kw) -> pd.DataFrame:
+        target = num_to_sample or self.cf["target_total_num_patches"]
 
-    Pipeline: broadcast anti-join (M2) → project to ids (payloads stay out of
-    the shuffle) → groupby(file_id) stratified quota sample with iterative
-    completion (O2) → stamp → val-split (O9).
-    """
+        pool = catalogue
+        excluded = list(current_selection_ids)
+        if excluded:
+            pool = exclude_ids(pool, excluded, columns=PATCH_INFO)
 
-    def get_patches(self, catalogue, num_to_sample=None, current_selection_ids=(), **kw) -> pd.DataFrame:
-        if not num_to_sample:
-            num_to_sample = self.cf["target_total_num_patches"]
-        ds = catalogue
-        if len(list(current_selection_ids)):
-            ds = exclude_ids(ds, current_selection_ids, columns=PATCH_INFO)
         patches = sample_with_stratification(
-            ds, num_to_sample, SALT_SPATIAL, strata=FILE_ID_COLNAME, columns=PATCH_INFO
-        )
-        self.log.info(f"{self.name} kept {min(num_to_sample, len(patches))} rows of the {num_to_sample} requested")
+            pool, target, SALT_SPATIAL, strata=FILE_ID_COLNAME,
+            columns=PATCH_INFO)
+        self.log.info(
+            f"{self.name} slab-stratified pick: kept "
+            f"{min(target, len(patches))} of {target} requested")
+
         patches = patches.copy()
         patches["sampler"] = self.name
-        self._set_validation_patches_with_stratification(patches, keys=[FILE_ID_COLNAME])
+        self._set_validation_patches_with_stratification(
+            patches, keys=[FILE_ID_COLNAME])
         return patches[self.sampling_schema + [FILE_ID_COLNAME]]

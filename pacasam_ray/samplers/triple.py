@@ -1,11 +1,24 @@
-"""TripleSampler (reference: src/pacasam/samplers/triple.py:10-40).
+"""TripleSampler — Targetted → Diversity → Spatial composition.
 
-Driver-side orchestration: Targetted (no completion) → Diversity with
-n = (total − |targetted|)//2 → Spatial for the exact remainder. The
-inter-stage arithmetic requires materialized counts between stages, so the
-stage barriers are semantic (SURVEY.md §2.8); each stage is itself a
-distributed Ray Data pipeline, and selections (small id tables) flow
-between them driver-side.
+Behavioral contract from the reference (src/pacasam/samplers/triple.py:10-40),
+including its exact stage arithmetic: the diversity stage draws
+``(total − |targetted|) // 2`` patches and the spatial stage the exact
+remainder after dedup. Those counts depend on the materialized size of the
+previous stage's selection, so the stage barriers are SEMANTIC
+(SURVEY.md §2.8) — they cannot pipeline. What this engine changes is
+everything inside a stage:
+
+- each stage is itself a distributed Ray Data pipeline (fused
+  count-scan + pruned shuffle for Targetted, FPS actor kernel for
+  Diversity, the closed-form stratified pick for Spatial);
+- only the SELECTIONS (id tables bounded by the sampling target, not the
+  corpus) cross the driver between stages;
+- the spatial completion excludes prior picks via a ``ray.put`` broadcast
+  filter rather than a shuffle join.
+
+An over-constrained config (per-class minimum proportions summing past
+1.0) short-circuits after the targetted stage, mirroring the reference's
+warning semantics.
 """
 
 from __future__ import annotations
@@ -22,33 +35,34 @@ from .targetted import TargettedSampler
 
 class TripleSampler(Sampler):
     def get_patches(self, catalogue, **kw) -> pd.DataFrame:
-        ts = TargettedSampler(
-            sampling_config=self.cf, log=self.log, complete_with_spatial_sampling=False
-        )
-        targetted = ts.get_patches(catalogue)
-        targetted = ts.drop_duplicates_by_id_and_log_sampling_attrition(targetted)
+        total = self.cf["target_total_num_patches"]
 
-        num_to_sample = (self.cf["target_total_num_patches"] - len(targetted)) // 2
-        if num_to_sample < 0:
+        targetted_stage = TargettedSampler(
+            sampling_config=self.cf, log=self.log,
+            complete_with_spatial_sampling=False)
+        picked = targetted_stage.get_patches(catalogue)
+        picked = targetted_stage.drop_duplicates_by_id_and_log_sampling_attrition(picked)
+
+        diversity_budget = (total - len(picked)) // 2
+        if diversity_budget < 0:
             warnings.warn(
-                f"Over-constrained config: the per-class minimum proportions add up "
-                f"past 1.0, so the targetted stage alone already returned more than "
-                f"the requested n={self.cf['target_total_num_patches']} patches; "
-                "skipping the diversity and spatial stages."
-            )
-            return targetted
+                f"Over-constrained config: the per-class minimum proportions "
+                f"add up past 1.0, so the targetted stage alone already "
+                f"returned more than the requested n={total} patches; "
+                "skipping the diversity and spatial stages.")
+            return picked
 
-        dvs = DiversitySampler(sampling_config=self.cf, log=self.log)
-        diverse = dvs.get_patches(catalogue, num_to_sample=num_to_sample)
-        selection = pd.concat([targetted, diverse], ignore_index=True)
-        selection = dvs.drop_duplicates_by_id_and_log_sampling_attrition(selection)
+        diversity_stage = DiversitySampler(sampling_config=self.cf,
+                                           log=self.log)
+        diverse = diversity_stage.get_patches(
+            catalogue, num_to_sample=diversity_budget)
+        picked = pd.concat([picked, diverse], ignore_index=True)
+        picked = diversity_stage.drop_duplicates_by_id_and_log_sampling_attrition(picked)
 
-        num_to_complete = self.cf["target_total_num_patches"] - len(selection)
-        cs = SpatialSampler(sampling_config=self.cf, log=self.log)
-        others = cs.get_patches(
-            catalogue,
-            num_to_sample=num_to_complete,
-            current_selection_ids=selection[PATCH_ID_COLNAME].tolist(),
-        )
-        selection = pd.concat([selection, others], ignore_index=True)
-        return self.drop_duplicates_by_id_and_log_sampling_attrition(selection)
+        remainder = total - len(picked)
+        spatial_stage = SpatialSampler(sampling_config=self.cf, log=self.log)
+        completion = spatial_stage.get_patches(
+            catalogue, num_to_sample=remainder,
+            current_selection_ids=picked[PATCH_ID_COLNAME].tolist())
+        picked = pd.concat([picked, completion], ignore_index=True)
+        return self.drop_duplicates_by_id_and_log_sampling_attrition(picked)

@@ -44,6 +44,30 @@ def test_minhash_lsh_recall_vs_exact():
             assert abs(est[key] - r["jaccard"]) < 0.25
 
 
+def test_dedup_fast_fingerprint_matches_md5_path():
+    """The vectorized 64-bit fingerprint path must keep exactly the same
+    representative ids as the md5 oracle path (same groups, same min-id
+    tie-break), and be partition-invariant."""
+    import ray.data
+
+    from pacasam_ray.functions.dedup import dedup_text_exact
+
+    rows = [{"doc_id": i, "text": f"document body {i % 37}"}
+            for i in range(500)]
+    md5_ids = None
+    for nblocks in (3, 11):
+        ds = ray.data.from_items(rows, override_num_blocks=nblocks)
+        fast = sorted(dedup_text_exact(ds, method="fast")
+                      .to_pandas()["doc_id"])
+        md5 = sorted(dedup_text_exact(ds, method="md5")
+                     .to_pandas()["doc_id"])
+        assert fast == md5
+        assert len(fast) == 37
+        if md5_ids is not None:
+            assert md5_ids == fast
+        md5_ids = fast
+
+
 def test_minhash_semijoin_prefilter_matches_broadcast(monkeypatch):
     """Forcing the over-cap (distributed semi-join) collision prefilter
     must yield the identical pair set as the broadcast path."""

@@ -220,6 +220,31 @@ def test_weighted_sample_properties():
     assert 50 <= light <= 200
 
 
+def test_weighted_sample_sps_properties():
+    """Sequential Poisson sampling: same contract as the E–S test above
+    (deterministic, partition-invariant, zero-weight exclusion, inclusion
+    tracks weight) for the SQL-auditable ξ = u/w variant."""
+    import numpy as np
+    import ray.data
+
+    from pacasam_ray.samplers.algos import sample_weighted_sps
+
+    rows = [{"patch_id": i, "w": 0.0 if i % 10 == 0 else (9.0 if i % 2 else 1.0)}
+            for i in range(20_000)]
+    a = sample_weighted_sps(ray.data.from_items(rows, override_num_blocks=3),
+                            1000, salt=5, weight_col="w")
+    b = sample_weighted_sps(ray.data.from_items(rows, override_num_blocks=13),
+                            1000, salt=5, weight_col="w")
+    assert list(a["patch_id"]) == list(b["patch_id"])
+    assert len(a) == 1000
+    w = a["w"].to_numpy()
+    assert (w > 0).all()
+    heavy = (w == 9.0).sum()
+    light = (w == 1.0).sum()
+    assert heavy / max(light, 1) > 4.5
+    assert 50 <= light <= 200
+
+
 def test_copy_sampler_dataset_native_equivalence(tmp_path):
     """CopySampler's Dataset-native path (no driver round-trip, no broadcast
     join-back) must produce the same rows/columns as run_sampling's generic
