@@ -270,6 +270,41 @@ def big_throughput() -> dict:
     t2 = time.perf_counter()
     np_rows = postings_pipeline().count()
     psec = time.perf_counter() - t2
+
+    # fourth big leg: the extraction MAP stage at volume — slab-shard
+    # assignment (the factorize-uniques _shard_of fold) + html→text
+    # extraction, i.e. everything run_extraction does before its
+    # (split, shard) exchange. Pure map: no shuffle, isolates the
+    # per-batch kernel cost the round-4 verdict flagged.
+    def extraction_map_pipeline():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from pacasam_ray.pipelines.extraction import _shard_of
+        from pacasam_ray.sources.pages import extract_text_from_html
+
+        ds = rd.read_parquet(big_dir, columns=["doc_id", "url", "html"])
+
+        def _map(t: pa.Table) -> pa.Table:
+            host = pc.struct_field(
+                pc.extract_regex(t["url"], r"https://(?P<h>[^/]+)/"), "h")
+            shard = _shard_of(host.to_pandas(), 16)
+            html = t["html"]
+            if isinstance(html, pa.ChunkedArray):
+                html = html.combine_chunks()
+            text = pc.cast(extract_text_from_html(html), pa.string())
+            return pa.table({"doc_id": t["doc_id"],
+                             "shard": pa.array(shard, pa.int64()),
+                             "text": text})
+
+        return ds.map_batches(_map, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    extraction_map_pipeline().count()  # warm (untimed)
+    t3 = time.perf_counter()
+    ne = extraction_map_pipeline().count()
+    esec = time.perf_counter() - t3
     return {
         "big_n_docs": n,
         "big_headline_sec": round(sec, 3),
@@ -283,6 +318,9 @@ def big_throughput() -> dict:
         "big_postings_terms": np_rows,
         "big_postings_sec": round(psec, 3),
         "big_postings_docs_per_sec": round(n / psec, 1),
+        "big_extraction_map_rows": ne,
+        "big_extraction_map_sec": round(esec, 3),
+        "big_extraction_map_docs_per_sec": round(n / esec, 1),
     }
 
 
