@@ -1779,11 +1779,18 @@ def q_minhash_lsh(sf_dir: str):
     signatures in DuckDB and reproduces the pair set bit-for-bit; pytest
     additionally checks recall vs the exact n-gram Jaccard join."""
     from .functions.dedup import minhash_lsh_pairs
+    from .stages.partitioning import schema_floor
 
     out = minhash_lsh_pairs(_docs(sf_dir), tau=JACCARD_TAU)
-    return out.map_batches(
+    out = out.map_batches(
         lambda df: df[["doc_a", "doc_b", "est_jaccard"]], batch_format="pandas"
     )
+    # schema_floor: a collision-free corpus yields zero pairs, and Ray 2.49
+    # drops the schema of all-empty outputs (the empty-block class)
+    return schema_floor(out, pd.DataFrame({
+        "doc_a": pd.Series(dtype=np.int64),
+        "doc_b": pd.Series(dtype=np.int64),
+        "est_jaccard": pd.Series(dtype=np.float64)}))
 
 
 def _sql_minhash_lsh(num_perm: int = 128, bands: int = 32, n: int = 3,

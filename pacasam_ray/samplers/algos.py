@@ -180,6 +180,15 @@ def sample_weighted_sps(ds, n: int, salt: int, weight_col: str,
     return tbl.drop_columns(RANK_COL).to_pandas()
 
 
+
+def _typed_empty(cols) -> pd.DataFrame:
+    """Typed empty selection frame: int64 ids, object otherwise. An untyped
+    ``pd.DataFrame(columns=cols)`` makes every column object, and a later
+    pd.concat with real selections then poisons patch_id to object dtype —
+    the driver's canonical hash is dtype-sensitive (r4 tpch_q12 lesson)."""
+    return pd.DataFrame({c: pd.Series(dtype=np.int64 if c == "patch_id"
+                                      else object) for c in cols})
+
 def strata_counts(ranked, strata: str) -> pd.DataFrame:
     """Per-strata row counts WITHOUT a shuffle: per-batch partial
     value_counts (combiner) → tiny driver-side merge. Strata cardinality is
@@ -192,6 +201,12 @@ def strata_counts(ranked, strata: str) -> pd.DataFrame:
         return vc.rename_columns([strata, "n"])
 
     parts = ranked.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    if strata not in parts.columns:
+        # fully-empty input: Ray 2.49 yields schema-less zero-row blocks,
+        # so to_pandas() loses the columns (the documented empty-block
+        # class — see stages/joins.safe_join)
+        return pd.DataFrame({strata: pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64)})
     return parts.groupby(strata, sort=False)["n"].sum().reset_index()
 
 
@@ -228,7 +243,7 @@ def sample_with_stratification(
     counts = strata_counts(ranked, strata)
     nunique = len(counts)
     if nunique == 0 or n <= 0:
-        return pd.DataFrame(columns=cols)
+        return _typed_empty(cols)
     total = int(counts["n"].sum())
     if total <= n:
         return ranked.drop_columns([RANK_COL]).to_pandas()
@@ -317,6 +332,10 @@ def multi_stratified_sample(
         return vc.rename_columns(["__spec", strata, "n"])
 
     parts = tagged.map_batches(_partial_counts, batch_format="pyarrow").to_pandas()
+    if "__spec" not in parts.columns:  # empty-block class: see strata_counts
+        parts = pd.DataFrame({"__spec": pd.Series(dtype=np.int64),
+                              strata: pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
     counts = parts.groupby(["__spec", strata], sort=False)["n"].sum().reset_index()
 
     # Driver: per-spec quota + exact completion depth from the sizes.
@@ -340,6 +359,11 @@ def multi_stratified_sample(
         while np.minimum(sizes, quota + r).sum() < n and r < max_rounds:
             r += 1
         quotas[si], depths[si] = quota, quota + r + 1
+
+    if sum(totals.values()) == 0:
+        # every pool empty (degenerate corpus / all-false criteria): the
+        # reserve scan below would hit the schema-less empty-block class
+        return {s["name"]: _typed_empty(cols) for s in specs}
 
     max_depth = max(depths.values() or [0])
 
@@ -383,7 +407,7 @@ def multi_stratified_sample(
         n, quota = spec["n"], quotas[si]
         reserve = reserve_all[reserve_all["__spec"] == si].drop(columns="__spec")
         if quota == 0 or reserve.empty:
-            out[spec["name"]] = pd.DataFrame(columns=cols)
+            out[spec["name"]] = _typed_empty(cols)
             continue
         if totals[si] <= n:
             out[spec["name"]] = (

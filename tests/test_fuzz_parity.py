@@ -42,7 +42,13 @@ DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
                "token_budget_mix", "bpe_pairs", "postings", "text_canon",
                "skipgram_counts", "url_frontier",
                "crawl_change_rate", "dup_rate_by_source", "lang_confusion",
-               "group_sample", "bpe_merge_round"]
+               "group_sample", "bpe_merge_round",
+               # round-5 sampler/selection oracles: tiny fuzz corpora hit
+               # the O2 closed form's total<=n early returns, 1-stratum
+               # quotas and empty-pool criteria
+               "weighted_sample", "sampler_RandomSampler",
+               "sampler_SpatialSampler", "sampler_CopySampler",
+               "sampler_TargettedSampler"]
 
 # multi-shuffle / multi-join pipelines: ~5-20x the wall-clock of the list
 # above per example, so they fuzz at a reduced example count (the operator
@@ -50,7 +56,7 @@ DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
 # the suite budget)
 DOC_QUERIES_HEAVY = ["lm_score", "dsir_weights", "ngram_containment",
                      "ccnet_bucket", "vocab_oov", "pmi_collocations",
-                     "tfidf_cosine"]
+                     "tfidf_cosine", "minhash_lsh", "bpe_train_k"]
 
 
 def _assert_parity(name, sf_dir, con):
