@@ -194,8 +194,28 @@ WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))
 """
 
 
+HYPERPLANE_SALT = 13000  # hmix salt namespace for LSH hyperplane entries
+
+
+def hyperplane_rademacher(n_tables: int, bits: int, dim: int,
+                          seed: int) -> np.ndarray:
+    """±1 (Rademacher, Achlioptas 2003) hyperplane entries as a pure hmix
+    function of (table, dim index, bit, seed) — sign projections with ±1
+    entries behave like Gaussian ones for sign-LSH, and the integer dot
+    products they induce over the quantized embeddings are EXACT
+    (order-free int64 sums), so the bucket keys — and therefore the whole
+    candidate-pair set — are reproduced bit-for-bit by the generated
+    DuckDB twin (queries._sql_embed_neardup_lsh). Flat index convention
+    mirrored in SQL: idx = (tab * dim + i) * bits + b."""
+    from ..hashing import hmix
+
+    idx = np.arange(n_tables * dim * bits, dtype=np.int64)
+    signs = 1 - 2 * (hmix(idx, HYPERPLANE_SALT + seed) % 2)
+    return signs.reshape(n_tables, dim, bits)
+
+
 class _HyperplaneSigner:
-    """Actor-pool stage: seeded random hyperplanes drawn once per actor;
+    """Actor-pool stage: hmix-derived ±1 hyperplanes built once per actor;
     emits one row per (vector, table): sign-signature bucket key ONLY — the
     vector itself never enters the shuffle (that would multiply shuffle
     volume by n_tables; verification re-reads vectors from a broadcast side
@@ -203,14 +223,14 @@ class _HyperplaneSigner:
 
     def __init__(self, n_tables: int, bits: int, dim: int, seed: int,
                  id_col: str, emb_col: str):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((n_tables, dim, bits))
+        self.planes = hyperplane_rademacher(n_tables, bits, dim, seed)
         self.n_tables, self.bits = n_tables, bits
         self.id_col, self.emb_col = id_col, emb_col
         self._pows = (np.int64(1) << np.arange(bits, dtype=np.int64))
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ez = _batch_qmat(t, self.emb_col).astype(np.float64)
+        # int64 quantized embeddings x ±1 int64 planes: exact dots
+        ez = _batch_qmat(t, self.emb_col)
         ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         out_id, out_tab, out_key = [], [], []
         for tab in range(self.n_tables):

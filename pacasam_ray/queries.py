@@ -1891,16 +1891,78 @@ def q_embed_neardup(sf_dir: str):
 
 
 def q_embed_neardup_lsh(sf_dir: str):
-    """Random-hyperplane LSH near-dup (scale path; recall < 1 by design —
-    rows-only; pytest asserts subset-of-exact + recall floor)."""
+    """Random-hyperplane LSH near-dup (scale path; recall < 1 by design).
+    Hyperplanes are hmix-derived ±1 entries and the bucket dots are exact
+    int64 sums over the quantized embeddings, so the generated SQL twin
+    rebuilds the bucket keys — hence the candidate-pair set and the
+    verified cos values — bit-for-bit; pytest additionally asserts
+    subset-of-exact + recall floor."""
     from .functions.similarity import embed_neardup_lsh
+    from .stages.partitioning import schema_floor
 
     path = f"{sf_dir}/embeddings.parquet"
     ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
     out = embed_neardup_lsh(ds, tau=NEARDUP_TAU, corpus_path=path)
-    return out.map_batches(
+    out = out.map_batches(
         lambda df: df[["doc_a", "doc_b", "cos"]], batch_format="pandas"
     )
+    return schema_floor(out, pd.DataFrame({
+        "doc_a": pd.Series(dtype=np.int64),
+        "doc_b": pd.Series(dtype=np.int64),
+        "cos": pd.Series(dtype=np.float64)}))
+
+
+def _sql_embed_neardup_lsh(tau: float = NEARDUP_TAU, n_tables: int = 24,
+                           bits: int = 5, seed: int = 23,
+                           dim: int = EMB_DIM) -> str:
+    """Generated twin of q_embed_neardup_lsh: rebuild the ±1 hyperplanes
+    from hmix (flat index (tab·dim + i)·bits + b — the convention of
+    functions/similarity.hyperplane_rademacher), derive each vector's
+    per-table sign-signature key from EXACT integer dots, pair up docs
+    sharing a (table, key) bucket, and verify with the same mirrored
+    integer-cosine expression the exact join uses."""
+    from .functions.similarity import HYPERPLANE_SALT, quantize_sql
+
+    flat = f"(pl_tab * {dim} + pl_i) * {bits} + pl_bit"
+    return f"""
+WITH z AS MATERIALIZED (
+  SELECT vec_id, {quantize_sql('embedding')} AS e FROM embeddings),
+planes AS MATERIALIZED (
+  SELECT t.pl_tab, i.pl_i, b.pl_bit,
+         1 - 2 * ({hmix_sql(flat, HYPERPLANE_SALT + seed)} % 2) AS p
+  FROM range({n_tables}) t(pl_tab), range({dim}) i(pl_i),
+       range({bits}) b(pl_bit)),
+dots AS MATERIALIZED (
+  SELECT z.vec_id, pl.pl_tab AS tab, pl.pl_bit AS bit,
+         SUM(z.e[pl.pl_i + 1] * pl.p) AS dot
+  FROM z, planes pl GROUP BY 1, 2, 3),
+keys AS MATERIALIZED (
+  SELECT vec_id, tab,
+         CAST(SUM(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END) AS BIGINT)
+         AS key
+  FROM dots GROUP BY 1, 2),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM keys a JOIN keys b
+    ON a.tab = b.tab AND a.key = b.key AND a.vec_id < b.vec_id),
+nz AS MATERIALIZED (
+  SELECT vec_id, e,
+         (SELECT SUM(e[i] * e[i]) FROM generate_series(1, {dim}) t(i)) AS nn
+  FROM z),
+p AS (
+  SELECT c.doc_a, c.doc_b,
+         (SELECT SUM(a.e[i] * b.e[i])
+          FROM generate_series(1, {dim}) t(i)) AS dot,
+         a.nn AS na, b.nn AS nb
+  FROM cand c JOIN nz a ON a.vec_id = c.doc_a
+              JOIN nz b ON b.vec_id = c.doc_b)
+SELECT doc_a, doc_b,
+       CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE))
+                              * SQRT(CAST(nb AS DOUBLE))) AS cos
+FROM p
+WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE))
+                             * SQRT(CAST(nb AS DOUBLE))) >= {tau!r}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -8754,7 +8816,7 @@ _DRIVER_GATE_PRIORITY = [
     "gopher_filter", "c4_filter", "top_ngram_frac", "dup_ngram_frac",
     "weighted_sample", "doc_rarity", "grouped_hll",
     "distinctive_terms", "kmeans_assign", "grouped_corr",
-    "grouped_histogram", "funnel", "dedup_keep_best",
+    "funnel", "dedup_keep_best", "embed_neardup_lsh",
     "sampler_RandomSampler", "sampler_SpatialSampler",
     "sampler_TargettedSampler", "sampler_CopySampler",
     "minhash_lsh", "bpe_train_k",
@@ -8936,6 +8998,7 @@ def build_oracle_sql() -> dict:
         "weighted_sample": _sql_weighted_sample(),
         "minhash_lsh": _sql_minhash_lsh(),
         "bpe_train_k": _sql_bpe_train_k(),
+        "embed_neardup_lsh": _sql_embed_neardup_lsh(),
     }
 
 

@@ -155,7 +155,10 @@ def test_fuzz_doc_heavy(texts, ray_session, tmp_path_factory):
 
 
 EMB_QUERIES = ["kmeans_assign", "semdedup", "label_centroids",
-               "embed_covariance", "kmeans_lloyd", "embed_whiten"]
+               "embed_covariance", "kmeans_lloyd", "embed_whiten",
+               # round-5: exact duplicates collide in every LSH table and
+               # tied cosines stress the mirrored int-cosine expression
+               "embed_neardup_lsh"]
 
 # pool of 6 distinct 64-dim vectors with float32-exact quarter components;
 # repeated picks plant EXACT duplicate vectors (cos == 1.0) and near-ties
