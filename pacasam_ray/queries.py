@@ -782,14 +782,51 @@ def q_tpch_q5(sf_dir: str):
     )
     from .stages.joins import safe_join
 
-    # safe_join: orders is date-filtered and cust region-filtered — either
-    # can be empty or lead with an empty block; li is a plain projected
-    # read, so its side skips the scrub pass
-    oc = safe_join(orders, cust, join_type="inner",
-                   on=("o_custkey",), right_on=("c_custkey",))
-    j = safe_join(li, oc, join_type="inner",
-                  on=("l_orderkey",), right_on=("o_orderkey",),
-                  scrub_left=False)
+    # Size-adaptive plan for the orders ⋈ customer side, same cap rule as
+    # supplier: below DIM_BROADCAST_CAP the (orderkey → nationkey) probe
+    # table is built once driver-side (both inputs are pruned + filtered
+    # projections, bounded by the cap precondition), ships via ray.put,
+    # and lineitem attaches c_nationkey with a vectorized searchsorted in
+    # the read stage — ZERO hash-join exchanges. Past the cap the two
+    # distributed hash joins below are the 100 TB plan.
+    oc_broadcast = (
+        _os.path.getsize(f"{sf_dir}/orders.parquet")
+        + _os.path.getsize(f"{sf_dir}/customer.parquet")
+        <= DIM_BROADCAST_CAP_BYTES)
+    if oc_broadcast:
+        odf = orders.to_pandas()
+        cdf = cust.to_pandas()
+        if "o_custkey" not in odf.columns or "c_custkey" not in cdf.columns:
+            ocdf = pd.DataFrame({"o_orderkey": pd.Series(dtype=np.int64),
+                                 "c_nationkey": pd.Series(dtype=np.int64)})
+        else:
+            ocdf = odf.merge(cdf, left_on="o_custkey", right_on="c_custkey")
+        ocdf = ocdf.sort_values("o_orderkey", kind="mergesort")
+        oc_ref = ray.put((ocdf["o_orderkey"].to_numpy(np.int64),
+                          ocdf["c_nationkey"].to_numpy(np.int64)))
+
+        def _attach_nat(t: pa.Table) -> pa.Table:
+            okeys, onat = ray.get(oc_ref)
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(okeys, ok)
+            pos_c = np.minimum(pos, max(len(okeys) - 1, 0))
+            found = (len(okeys) > 0) & (okeys[pos_c] == ok) if len(okeys) \
+                else np.zeros(len(ok), dtype=bool)
+            t = t.filter(pa.array(found))
+            return t.append_column(
+                "c_nationkey", pa.array(onat[pos_c[found]], pa.int64()))
+
+        j = li.map_batches(_attach_nat, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    else:
+        # safe_join: orders is date-filtered and cust region-filtered —
+        # either can be empty or lead with an empty block; li is a plain
+        # projected read, so its side skips the scrub pass
+        oc = safe_join(orders, cust, join_type="inner",
+                       on=("o_custkey",), right_on=("c_custkey",))
+        j = safe_join(li, oc, join_type="inner",
+                      on=("l_orderkey",), right_on=("o_orderkey",),
+                      scrub_left=False)
 
     if sup_broadcast:
         def _partial(t: pa.Table) -> pa.Table:
