@@ -8506,6 +8506,50 @@ def _sampler_query(name: str):
     return _q
 
 
+def q_sampler_triple_counts(sf_dir: str) -> pd.DataFrame:
+    """Driver-checkable count surface for the TripleSampler composite
+    (r4 verdict item 7). The FPS diversity stage is not SQL-expressible,
+    but the composite's COUNT contract is: the spatial completion fills
+    the selection to exactly target_total_num_patches (the reference's
+    own conformance assertion, tests/tests_pacasam/samplers/), the final
+    selection is dedup'd, the targetted-stage row count equals the
+    keep-first dedup of the criterion picks (the `ded` CTE shared with
+    the TargettedSampler oracle — dedup keeps the FIRST occurrence, so
+    targetted labels survive any diversity overlap), and diversity +
+    spatial jointly contribute exactly the remainder. Precondition
+    (holds at every sf: catalogue 500 ≥ 2n=100): the catalogue is large
+    enough for both completion stages to fill their budgets."""
+    from .samplers import SAMPLERS_LIBRARY
+
+    cat = make_catalogue(sf_dir)
+    sampler = SAMPLERS_LIBRARY["TripleSampler"](
+        sampling_config=dict(DEFAULT_CONFIG))
+    sel = sampler.get_patches(cat)
+    n_t = int((sel["sampler"] == "TargettedSampler").sum())
+    return pd.DataFrame({
+        "n_selected": [len(sel)],
+        "n_distinct": [int(sel["patch_id"].nunique())],
+        "n_targetted": [n_t],
+        "n_completion": [len(sel) - n_t],
+    }).astype("int64")
+
+
+def _sql_sampler_triple_counts() -> str:
+    """SQL twin of q_sampler_triple_counts: n_targetted is the count of
+    the TargettedSampler `ded` CTE; the composite total is n unless the
+    config is over-constrained (nt > n, diversity/spatial skipped)."""
+    n = DEFAULT_CONFIG["target_total_num_patches"]
+    frac = DEFAULT_CONFIG["frac_validation_set"]
+    ctes = _sql_targetted_ded_ctes(n, frac)
+    ctes.append("nt AS (SELECT COUNT(*) AS c FROM ded)")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(GREATEST(c, {n}) AS BIGINT) AS n_selected,
+       CAST(GREATEST(c, {n}) AS BIGINT) AS n_distinct,
+       CAST(c AS BIGINT) AS n_targetted,
+       CAST(GREATEST({n} - c, 0) AS BIGINT) AS n_completion
+FROM nt""")
+
+
 def _sql_stratified_pick(src: str, n_expr: str, salt: int,
                          strata: str = "file_id",
                          max_rounds: int = 50) -> str:
@@ -8538,24 +8582,17 @@ def _sql_stratified_pick(src: str, n_expr: str, salt: int,
   LIMIT ({n_expr})"""
 
 
-def _sql_sampler_targetted(n: int, frac: float) -> str:
-    """Full SQL oracle for TargettedSampler (samplers/targetted.py): per
-    criterion (ascending target proportion) an M1-filtered O2 pick of
-    int(prop·n) rows + per-pool O9 val split; union deduped keep-first
-    (= min criterion priority); then the SpatialSampler completion over
-    the excluded remainder with the RESIDUAL val fraction
-    (num_val_to_add/num_to_add) — mirroring the engine's edge rules:
-    num_to_add == 0 falls through to a full-n spatial pick with
-    split='test' (frac 0.0 is falsy), overshoot (nsel > n) skips
-    completion, and a negative residual clamps the val pick to empty."""
-    from math import floor
-
+def _sql_targetted_ded_ctes(n: int, frac: float) -> list:
+    """CTE chain for the TargettedSampler criterion stage, through the
+    keep-first dedup (`ded`: patch_id, split). Shared by the full
+    TargettedSampler oracle (which appends the spatial completion) and
+    the TripleSampler count surface (whose targetted stage runs with
+    complete_with_spatial_sampling=False, i.e. exactly `ded`)."""
     from .samplers.base import SALT_TARGETTED, SALT_VAL
     from .samplers.targetted import TargettedSampler
 
     targets = TargettedSampler.sorted_targets(
         DEFAULT_CONFIG["TargettedSampler"]["targets"])
-    total_val = floor(frac * n)
     ctes = [f"cat AS MATERIALIZED ({CAT})"]
     sels = []
     for i, (col, obj) in enumerate(targets.items()):
@@ -8580,6 +8617,25 @@ def _sql_sampler_targetted(n: int, frac: float) -> str:
     ctes.append("ded AS MATERIALIZED (SELECT patch_id, split FROM uni "
                 "QUALIFY ROW_NUMBER() OVER (PARTITION BY patch_id "
                 "ORDER BY pri) = 1)")
+    return ctes
+
+
+def _sql_sampler_targetted(n: int, frac: float) -> str:
+    """Full SQL oracle for TargettedSampler (samplers/targetted.py): per
+    criterion (ascending target proportion) an M1-filtered O2 pick of
+    int(prop·n) rows + per-pool O9 val split; union deduped keep-first
+    (= min criterion priority); then the SpatialSampler completion over
+    the excluded remainder with the RESIDUAL val fraction
+    (num_val_to_add/num_to_add) — mirroring the engine's edge rules:
+    num_to_add == 0 falls through to a full-n spatial pick with
+    split='test' (frac 0.0 is falsy), overshoot (nsel > n) skips
+    completion, and a negative residual clamps the val pick to empty."""
+    from math import floor
+
+    from .samplers.base import SALT_VAL
+
+    total_val = floor(frac * n)
+    ctes = _sql_targetted_ded_ctes(n, frac)
     ctes.append("base AS MATERIALIZED (SELECT COUNT(*) AS nsel, "
                 "COALESCE(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END), "
                 "0) AS nvalsel FROM ded)")
@@ -8824,6 +8880,7 @@ def build_queries() -> dict:
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
         queries[f"sampler_{name}"] = _sampler_query(name)
+    queries["sampler_TripleSampler_counts"] = q_sampler_triple_counts
     # The driver's independent DuckDB gate checks the FIRST 50 registry
     # entries in insertion order. Rounds 1-3 validated the same original 50;
     # rotate the never-driver-checked entries to the front (samplers — the
@@ -8848,7 +8905,8 @@ _DRIVER_GATE_PRIORITY = [
     "url_frontier", "vocab_oov", "normalize_mad", "token_budget_mix",
     "text_canon", "skipgram_counts", "ngram_containment",
     "crawl_change_rate", "dup_rate_by_source", "lang_confusion",
-    "grouped_winsorize", "group_sample", "sentence_dedup", "kmeans_lloyd",
+    "grouped_winsorize", "sampler_TripleSampler_counts",
+    "sentence_dedup", "kmeans_lloyd",
     "embed_covariance", "embed_whiten", "hash_split",
     "gopher_filter", "c4_filter", "top_ngram_frac", "dup_ngram_frac",
     "weighted_sample", "doc_rarity", "grouped_hll",
@@ -9031,6 +9089,7 @@ def build_oracle_sql() -> dict:
         "sampler_RandomSampler": _sql_sampler("RandomSampler"),
         "sampler_SpatialSampler": _sql_sampler("SpatialSampler"),
         "sampler_CopySampler": _sql_sampler("CopySampler"),
+        "sampler_TripleSampler_counts": _sql_sampler_triple_counts(),
         "sampler_TargettedSampler": _sql_sampler("TargettedSampler"),
         "weighted_sample": _sql_weighted_sample(),
         "minhash_lsh": _sql_minhash_lsh(),

@@ -103,6 +103,37 @@ class Sampler:
         )
         return out
 
+    def requested_total(self, num_to_sample=None) -> int:
+        """Stage budget: the caller's override (composition stages pass
+        one) or the configured final dataset size."""
+        return num_to_sample or self.cf["target_total_num_patches"]
+
+    def pool_without(self, catalogue, current_selection_ids, columns):
+        """M2 exclusion step shared by the hash-rank samplers: ship the
+        already-picked ids ONCE via ``ray.put`` and drop them inside
+        ``map_batches`` (stages/filters.exclude_ids) — a broadcast
+        anti-join over the streaming catalogue, never a shuffle. The
+        excluded set is bounded by the sampling target, so the broadcast
+        is small by construction. No-op when nothing is excluded."""
+        from ..stages.filters import exclude_ids
+
+        excluded = list(current_selection_ids)
+        if not excluded:
+            return catalogue
+        return exclude_ids(catalogue, excluded, columns=columns)
+
+    def finalize_selection(self, picked: pd.DataFrame) -> pd.DataFrame:
+        """Shared selection tail (reference sampler.py:53-65 semantics):
+        stamp the producing sampler's name, mark the validation split by
+        file_id-stratified hash rank, and project to the sampling schema
+        plus file_id (which downstream completion stages stratify over).
+        Runs driver-side on the bounded selection, like the reference."""
+        picked = picked.copy()
+        picked[SAMPLER_COLNAME] = self.name
+        self._set_validation_patches_with_stratification(
+            picked, keys=[FILE_ID_COLNAME])
+        return picked[self.sampling_schema + [FILE_ID_COLNAME]]
+
     def _set_validation_patches_with_stratification(
         self, patches: pd.DataFrame, keys=FILE_ID_COLNAME
     ) -> pd.DataFrame:

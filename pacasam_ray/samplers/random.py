@@ -14,6 +14,13 @@ the execution plan is this engine's own:
 - the top-n itself is the 3-level associative prune of
   ``samplers/algos.smallest_n`` (per-batch partial top-n → tree re-prune →
   bounded driver merge), never a global sort.
+
+Scale design (100 TB): the only data that ever reaches the driver is the
+n-row selection; the catalogue scan is a single pruned-column pass whose
+per-block partial top-n keeps at most n candidate rows per block in
+flight, so object-store pressure is O(blocks · n), independent of corpus
+size. Determinism means a re-run after a mid-scan failure reproduces the
+identical selection — resumability comes from purity, not checkpoints.
 """
 
 from __future__ import annotations
@@ -21,29 +28,19 @@ from __future__ import annotations
 import pandas as pd
 
 from ..catalogue import PATCH_INFO
-from ..stages.filters import exclude_ids
 from .algos import sample_randomly
-from .base import FILE_ID_COLNAME, SALT_RANDOM, Sampler
+from .base import SALT_RANDOM, Sampler
 
 
 class RandomSampler(Sampler):
     def get_patches(self, catalogue, num_to_sample=None,
                     current_selection_ids=(), **kw) -> pd.DataFrame:
-        target = num_to_sample or self.cf["target_total_num_patches"]
-
-        pool = catalogue
-        excluded = list(current_selection_ids)
-        if excluded:
-            pool = exclude_ids(pool, excluded, columns=PATCH_INFO)
-
-        patches = sample_randomly(pool, target, SALT_RANDOM,
-                                  columns=PATCH_INFO)
+        target = self.requested_total(num_to_sample)
+        pool = self.pool_without(catalogue, current_selection_ids,
+                                 columns=PATCH_INFO)
+        picked = sample_randomly(pool, target, SALT_RANDOM,
+                                 columns=PATCH_INFO)
         self.log.info(
             f"{self.name} hash-rank top-n: kept "
-            f"{min(target, len(patches))} of {target} requested")
-
-        patches = patches.copy()
-        patches["sampler"] = self.name
-        self._set_validation_patches_with_stratification(
-            patches, keys=[FILE_ID_COLNAME])
-        return patches[self.sampling_schema + [FILE_ID_COLNAME]]
+            f"{min(target, len(picked))} of {target} requested")
+        return self.finalize_selection(picked)

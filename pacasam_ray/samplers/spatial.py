@@ -14,6 +14,13 @@ case study:
   ORDER BY (GREATEST(g - quota, 0), rank) — reproducible by the generated
   DuckDB oracle in queries.py;
 - exclusion ids are a ``ray.put`` broadcast filter, never a shuffle join.
+
+Scale design (100 TB): the exchange moves only (patch_id, file_id, rank)
+triples for rows that can still win a quota slot — the counts scan prunes
+every stratum already at quota before any bytes shuffle. Hot slabs cannot
+skew the exchange beyond their quota + completion depth, both of which
+are O(n / strata) by the closed form, so a 10^12-row catalogue with a few
+thousand slabs shuffles megabytes, not terabytes.
 """
 
 from __future__ import annotations
@@ -21,7 +28,6 @@ from __future__ import annotations
 import pandas as pd
 
 from ..catalogue import PATCH_INFO
-from ..stages.filters import exclude_ids
 from .algos import sample_with_stratification
 from .base import FILE_ID_COLNAME, SALT_SPATIAL, Sampler
 
@@ -29,22 +35,13 @@ from .base import FILE_ID_COLNAME, SALT_SPATIAL, Sampler
 class SpatialSampler(Sampler):
     def get_patches(self, catalogue, num_to_sample=None,
                     current_selection_ids=(), **kw) -> pd.DataFrame:
-        target = num_to_sample or self.cf["target_total_num_patches"]
-
-        pool = catalogue
-        excluded = list(current_selection_ids)
-        if excluded:
-            pool = exclude_ids(pool, excluded, columns=PATCH_INFO)
-
-        patches = sample_with_stratification(
+        target = self.requested_total(num_to_sample)
+        pool = self.pool_without(catalogue, current_selection_ids,
+                                 columns=PATCH_INFO)
+        picked = sample_with_stratification(
             pool, target, SALT_SPATIAL, strata=FILE_ID_COLNAME,
             columns=PATCH_INFO)
         self.log.info(
             f"{self.name} slab-stratified pick: kept "
-            f"{min(target, len(patches))} of {target} requested")
-
-        patches = patches.copy()
-        patches["sampler"] = self.name
-        self._set_validation_patches_with_stratification(
-            patches, keys=[FILE_ID_COLNAME])
-        return patches[self.sampling_schema + [FILE_ID_COLNAME]]
+            f"{min(target, len(picked))} of {target} requested")
+        return self.finalize_selection(picked)
