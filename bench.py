@@ -305,6 +305,42 @@ def big_throughput() -> dict:
     t3 = time.perf_counter()
     ne = extraction_map_pipeline().count()
     esec = time.perf_counter() - t3
+
+    # fifth big leg: the FLAGSHIP e2e composite at volume — lang-ID +
+    # Gopher gates (actor pool) → exact content dedup (key exchange) →
+    # per-source token-budget scan (two passes). The chain a webtext user
+    # actually ships; source derived from the url host (20 sites). The
+    # synthetic word pool holds only ONE Gopher stopword, so every page
+    # would fail the >=2-stopword rule and starve the dedup/scan stages —
+    # a fixed stopword tail keeps the corpus gate-calibrated (most pages
+    # pass, short ones still fail the word minimum) so every stage does
+    # volume work.
+    def curate_pipeline():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from pacasam_ray.pipelines.curation import webtext_curate_pipeline
+
+        ds = rd.read_parquet(big_dir, columns=["doc_id", "url", "text"])
+
+        def _src(t: pa.Table) -> pa.Table:
+            host = pc.struct_field(
+                pc.extract_regex(t["url"], r"https://(?P<h>[^/]+)/"), "h")
+            text = pc.binary_join_element_wise(
+                pc.cast(t["text"], pa.string()),
+                pa.array(["of and to the"] * len(t)), " ")
+            return pa.table({"doc_id": t["doc_id"],
+                             "source": pc.cast(host, pa.string()),
+                             "text": text})
+
+        return webtext_curate_pipeline(
+            ds.map_batches(_src, batch_format="pyarrow", zero_copy_batch=True))
+
+    curate_pipeline().count()  # warm (untimed)
+    t4 = time.perf_counter()
+    nc = curate_pipeline().count()
+    csec = time.perf_counter() - t4
     return {
         "big_n_docs": n,
         "big_headline_sec": round(sec, 3),
@@ -321,6 +357,9 @@ def big_throughput() -> dict:
         "big_extraction_map_rows": ne,
         "big_extraction_map_sec": round(esec, 3),
         "big_extraction_map_docs_per_sec": round(n / esec, 1),
+        "big_curate_rows": nc,
+        "big_curate_sec": round(csec, 3),
+        "big_curate_docs_per_sec": round(n / csec, 1),
     }
 
 

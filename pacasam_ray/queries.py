@@ -7112,6 +7112,54 @@ SELECT doc_id, source, ntok FROM scanned WHERE pre < {TOKEN_BUDGET}
 """
 
 
+def q_webtext_curate(sf_dir: str):
+    """Flagship end-to-end curation composite — the CCNet/C4/Gopher-lineage
+    production chain (`pipelines/curation.webtext_curate_pipeline`):
+    lang-ID gate → Gopher quality gate (fused actor-pool stage, profiles
+    compiled once per actor) → exact content dedup (md5 hash-shuffle,
+    min-id representative) → per-source token-budget realization
+    (hash-rank order + the two-pass distributed prefix-sum scan). Every
+    stage is the SAME kernel its standalone registry entry runs (lang_id,
+    gopher_filter, dedup_text, token_budget_mix), so the composite's
+    oracle composes the same mirrored SQL fragments — the e2e pipeline a
+    real user would ship is value-checkable end to end, not just stage by
+    stage. The gates can legitimately drop EVERY document (a corpus of
+    short low-quality pages), so the bounded driver-side result is
+    schema-floored."""
+    from .pipelines.curation import curate_empty_frame, webtext_curate_pipeline
+    from .stages.partitioning import schema_floor
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source", "text"])
+    return schema_floor(webtext_curate_pipeline(ds), curate_empty_frame())
+
+
+def _sql_webtext_curate() -> str:
+    """SQL twin of q_webtext_curate: the standalone oracles' own fragments
+    (lang_id_sql, gopher_filter_sql, the md5 QUALIFY dedup, token_count_sql
+    + the windowed budget prefix) chained through CTEs."""
+    from .functions.text import gopher_filter_sql, lang_id_sql, token_count_sql
+    from .pipelines.curation import CURATE_BUDGET, CURATE_LANG, SALT_CURATE
+
+    rk = f"({hmix_sql('doc_id', SALT_CURATE)} * 2147483648 + doc_id % 2147483648)"
+    return f"""
+WITH lang AS ({lang_id_sql('documents')}),
+k1 AS (SELECT d.doc_id, d.source, d.text FROM documents d
+       JOIN lang USING (doc_id) WHERE lang.lang_pred = '{CURATE_LANG}'),
+gop AS ({gopher_filter_sql('k1')}),
+k2 AS (SELECT k1.* FROM k1 JOIN gop USING (doc_id) WHERE gop.kept),
+ded AS (SELECT * FROM k2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+base AS (SELECT doc_id, source, {token_count_sql('text')} AS ntok, {rk} AS rk
+         FROM ded),
+scanned AS (SELECT doc_id, source, ntok,
+    COALESCE(SUM(ntok) OVER (PARTITION BY source ORDER BY rk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+    FROM base)
+SELECT doc_id, source, ntok FROM scanned WHERE pre < {CURATE_BUDGET}
+"""
+
+
 BPE_TOP_K = 20  # merge candidates returned per BPE counting round
 
 
@@ -8550,6 +8598,141 @@ SELECT CAST(GREATEST(c, {n}) AS BIGINT) AS n_selected,
 FROM nt""")
 
 
+# DiversitySampler gate surface: a chunk size small enough that the
+# 500-patch gate catalogue splits into 8 chunks (7 full + 1 ragged tail,
+# with the truncation rule cutting the tail) — every branch of the chunked
+# FPS plan is exercised by integer-exact facts.
+DIVERSITY_GATE_CHUNK = 64
+
+
+def _selected_positions(cat, sel: pd.DataFrame, counts: pd.DataFrame) -> dict:
+    """Global (file_id, patch_id)-lexicographic position of each SELECTED
+    patch, without a sort shuffle: per-file offsets come from the bounded
+    strata counts (driver arithmetic over one row per slab), per-file
+    ranks from a single map_batches pass that counts, per slab, how many
+    catalogue patch_ids precede each selected one (np.searchsorted per
+    block, partials summed on the driver). The broadcast is the n-row
+    selection, the pulled result is one int per (block, selected row) —
+    O(selection) driver state at any corpus size."""
+    counts = counts.sort_values("file_id", kind="mergesort")
+    cum = counts["n"].cumsum().to_numpy()
+    offs = dict(zip(counts["file_id"].tolist(),
+                    np.concatenate([[0], cum[:-1]]).astype(np.int64)))
+    by_file = {f: np.sort(g["patch_id"].to_numpy())
+               for f, g in sel.groupby("file_id", sort=False)}
+    ref = ray.put(by_file)
+
+    def _rank_partial(batch: pa.Table) -> pa.Table:
+        bf = ray.get(ref)
+        fid = batch["file_id"].to_numpy(zero_copy_only=False)
+        pid = batch["patch_id"].to_numpy(zero_copy_only=False)
+        fs, ps, rs = [], [], []
+        for f in pd.unique(fid):
+            tgt = bf.get(f)
+            if tgt is None:
+                continue
+            block = np.sort(pid[fid == f])
+            fs.extend([f] * len(tgt))
+            ps.append(tgt)
+            rs.append(np.searchsorted(block, tgt, side="left").astype(np.int64))
+        return pa.table({
+            "file_id": pa.array(fs, type=pa.string()),
+            "patch_id": pa.array(
+                np.concatenate(ps) if ps else np.empty(0, np.int64)),
+            "rank": pa.array(
+                np.concatenate(rs) if rs else np.empty(0, np.int64)),
+        })
+
+    parts = cat.select_columns(["patch_id", "file_id"]).map_batches(
+        _rank_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if parts.empty:
+        return {}
+    agg = parts.groupby(["file_id", "patch_id"], sort=False)["rank"].sum()
+    return {int(p): int(offs[f]) + int(r) for (f, p), r in agg.items()}
+
+
+def q_sampler_diversity_chunks(sf_dir: str) -> pd.DataFrame:
+    """Driver-checkable surface for the DiversitySampler's chunked FPS
+    plan (samplers/diversity.py; reference src/pacasam/samplers/
+    diversity.py:70-95): run the real sampler with a 64-row chunk size so
+    the gate catalogue splits into multiple chunks, then report one row
+    per chunk that survives truncation — its length, how many of its
+    FPS picks made the final selection, and its seed patch. Every output
+    is an exact integer fact of the plan: chunk boundaries come from the
+    no-sort global position assignment, per-chunk targets from
+    ceil(len·n/N) (a single IEEE multiply, mirrored bit-for-bit in SQL),
+    seeds from FPS's start-at-position-0 rule, and survival counts from
+    the concat-in-chunk-order + head(n) truncation. The only thing NOT
+    checked is which non-seed rows FPS picks — that is float geometry
+    with no SQL twin, covered by conformance tests instead."""
+    from .samplers import SAMPLERS_LIBRARY
+    from .samplers.algos import strata_counts
+
+    chunk = DIVERSITY_GATE_CHUNK
+    cf = dict(DEFAULT_CONFIG)
+    cf["DiversitySampler"] = {**cf["DiversitySampler"],
+                              "max_chunk_size_for_fps": chunk}
+    cat = make_catalogue(sf_dir)
+    sampler = SAMPLERS_LIBRARY["DiversitySampler"](sampling_config=cf)
+    sel = sampler.get_patches(cat)
+    if sel.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("chunk_id", "chunk_len", "n_kept",
+                              "seed_patch_id")})
+    counts = strata_counts(cat.select_columns(["file_id"]), "file_id")
+    total = int(counts["n"].sum())
+    pos_map = _selected_positions(cat, sel, counts)
+    per = pd.DataFrame({
+        "chunk_id": sel["patch_id"].map(pos_map).to_numpy(np.int64) // chunk,
+        "patch_id": sel["patch_id"].to_numpy(np.int64),
+    })
+    g = per.groupby("chunk_id", sort=True)
+    out = pd.DataFrame({
+        "chunk_id": g.size().index.to_numpy(np.int64),
+        "n_kept": g.size().to_numpy(np.int64),
+        "seed_patch_id": g["patch_id"].first().to_numpy(np.int64),
+    })
+    out.insert(1, "chunk_len", np.minimum(
+        chunk, total - out["chunk_id"].to_numpy() * chunk).astype(np.int64))
+    return out
+
+
+def _sql_sampler_diversity_chunks() -> str:
+    """SQL twin of q_sampler_diversity_chunks. Positions are ROW_NUMBER
+    over (file_id, patch_id) — the order assign_positions reproduces
+    without a sort; the single-chunk regime (total <= chunk) takes the
+    engine's min(n, len) branch VERBATIM rather than ceil(len·n/N),
+    whose float product may land epsilon above n and ceil one too high."""
+    n = DEFAULT_CONFIG["target_total_num_patches"]
+    c = DIVERSITY_GATE_CHUNK
+    kept = f"LEAST(n_chunk, GREATEST({n} - (cum - n_chunk), 0))"
+    return f"""
+WITH cat AS MATERIALIZED ({CAT}),
+tot AS (SELECT COUNT(*) AS n FROM cat),
+pos AS (SELECT patch_id,
+               ROW_NUMBER() OVER (ORDER BY file_id, patch_id) - 1 AS p
+        FROM cat),
+ch AS (SELECT p // {c} AS chunk_id, COUNT(*) AS chunk_len,
+              ARG_MIN(patch_id, p) AS seed_patch_id
+       FROM pos GROUP BY 1),
+tgt AS (SELECT chunk_id, chunk_len, seed_patch_id,
+               CASE WHEN tot.n <= {c} THEN LEAST({n}, chunk_len)
+                    ELSE LEAST(CAST(CEIL(CAST(chunk_len AS DOUBLE) *
+                         (CAST({n} AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+                         AS BIGINT), chunk_len) END AS n_chunk
+        FROM ch, tot),
+tr AS (SELECT *, SUM(n_chunk) OVER (ORDER BY chunk_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       FROM tgt)
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_len AS BIGINT) AS chunk_len,
+       CAST({kept} AS BIGINT) AS n_kept,
+       CAST(seed_patch_id AS BIGINT) AS seed_patch_id
+FROM tr WHERE {kept} > 0
+ORDER BY chunk_id"""
+
+
 def _sql_stratified_pick(src: str, n_expr: str, salt: int,
                          strata: str = "file_id",
                          max_rounds: int = 50) -> str:
@@ -8881,6 +9064,8 @@ def build_queries() -> dict:
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
         queries[f"sampler_{name}"] = _sampler_query(name)
     queries["sampler_TripleSampler_counts"] = q_sampler_triple_counts
+    queries["sampler_diversity_chunks"] = q_sampler_diversity_chunks
+    queries["webtext_curate"] = q_webtext_curate
     # The driver's independent DuckDB gate checks the FIRST 50 registry
     # entries in insertion order. Rounds 1-3 validated the same original 50;
     # rotate the never-driver-checked entries to the front (samplers — the
@@ -8903,12 +9088,13 @@ _DRIVER_GATE_PRIORITY = [
     "dsir_weights", "ccnet_bucket", "snapshot_delta", "postings",
     "pmi_collocations", "tfidf_cosine", "bpe_pairs", "bpe_merge_round",
     "url_frontier", "vocab_oov", "normalize_mad", "token_budget_mix",
-    "text_canon", "skipgram_counts", "ngram_containment",
+    "webtext_curate", "skipgram_counts", "ngram_containment",
     "crawl_change_rate", "dup_rate_by_source", "lang_confusion",
     "grouped_winsorize", "sampler_TripleSampler_counts",
     "sentence_dedup", "kmeans_lloyd",
     "embed_covariance", "embed_whiten", "hash_split",
-    "gopher_filter", "c4_filter", "top_ngram_frac", "dup_ngram_frac",
+    "gopher_filter", "c4_filter", "top_ngram_frac",
+    "sampler_diversity_chunks",
     "weighted_sample", "doc_rarity", "grouped_hll",
     "distinctive_terms", "kmeans_assign", "grouped_corr",
     "funnel", "dedup_keep_best", "embed_neardup_lsh",
@@ -9090,6 +9276,8 @@ def build_oracle_sql() -> dict:
         "sampler_SpatialSampler": _sql_sampler("SpatialSampler"),
         "sampler_CopySampler": _sql_sampler("CopySampler"),
         "sampler_TripleSampler_counts": _sql_sampler_triple_counts(),
+        "sampler_diversity_chunks": _sql_sampler_diversity_chunks(),
+        "webtext_curate": _sql_webtext_curate(),
         "sampler_TargettedSampler": _sql_sampler("TargettedSampler"),
         "weighted_sample": _sql_weighted_sample(),
         "minhash_lsh": _sql_minhash_lsh(),

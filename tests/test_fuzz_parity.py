@@ -48,7 +48,14 @@ DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
                # quotas and empty-pool criteria
                "weighted_sample", "sampler_RandomSampler",
                "sampler_SpatialSampler", "sampler_CopySampler",
-               "sampler_TargettedSampler"]
+               "sampler_TargettedSampler",
+               # tiny corpora take the single-chunk FPS branch, where the
+               # surface's min(n, len) rule must match the SQL CASE arm
+               "sampler_diversity_chunks",
+               # the e2e composite: short fuzz docs fail the Gopher word
+               # minimum, so this mostly exercises the all-empty chain
+               # (gates -> dedup -> scan on zero rows) on both engines
+               "webtext_curate"]
 
 # multi-shuffle / multi-join pipelines: ~5-20x the wall-clock of the list
 # above per example, so they fuzz at a reduced example count (the operator
