@@ -122,6 +122,26 @@ class Sampler:
             return catalogue
         return exclude_ids(catalogue, excluded, columns=columns)
 
+    def hash_rank_pick(self, catalogue, *, num_to_sample,
+                       current_selection_ids, salt: int, kernel,
+                       log_tag: str) -> pd.DataFrame:
+        """The whole body of a hash-rank sampler, shared by Random and
+        Spatial: broadcast-exclude prior picks, run the distributed pick
+        ``kernel(pool, target, salt)`` over the streaming catalogue, log
+        the kept/requested counts, and stamp the selection tail. Only the
+        kernel differs between samplers (global top-n vs slab-stratified
+        quota fill)."""
+        from ..catalogue import PATCH_INFO
+
+        target = self.requested_total(num_to_sample)
+        pool = self.pool_without(catalogue, current_selection_ids,
+                                 columns=PATCH_INFO)
+        picked = kernel(pool, target, salt)
+        self.log.info(
+            f"{self.name} {log_tag}: kept "
+            f"{min(target, len(picked))} of {target} requested")
+        return self.finalize_selection(picked)
+
     def finalize_selection(self, picked: pd.DataFrame) -> pd.DataFrame:
         """Shared selection tail (reference sampler.py:53-65 semantics):
         stamp the producing sampler's name, mark the validation split by

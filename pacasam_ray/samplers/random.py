@@ -21,9 +21,15 @@ per-block partial top-n keeps at most n candidate rows per block in
 flight, so object-store pressure is O(blocks · n), independent of corpus
 size. Determinism means a re-run after a mid-scan failure reproduces the
 identical selection — resumability comes from purity, not checkpoints.
+
+The sampler body is the shared ``Sampler.hash_rank_pick`` template; this
+module contributes only the kernel choice (global top-n) and its salt
+namespace.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import pandas as pd
 
@@ -31,16 +37,13 @@ from ..catalogue import PATCH_INFO
 from .algos import sample_randomly
 from .base import SALT_RANDOM, Sampler
 
+_KERNEL = partial(sample_randomly, columns=PATCH_INFO)
+
 
 class RandomSampler(Sampler):
     def get_patches(self, catalogue, num_to_sample=None,
                     current_selection_ids=(), **kw) -> pd.DataFrame:
-        target = self.requested_total(num_to_sample)
-        pool = self.pool_without(catalogue, current_selection_ids,
-                                 columns=PATCH_INFO)
-        picked = sample_randomly(pool, target, SALT_RANDOM,
-                                 columns=PATCH_INFO)
-        self.log.info(
-            f"{self.name} hash-rank top-n: kept "
-            f"{min(target, len(picked))} of {target} requested")
-        return self.finalize_selection(picked)
+        return self.hash_rank_pick(
+            catalogue, num_to_sample=num_to_sample,
+            current_selection_ids=current_selection_ids,
+            salt=SALT_RANDOM, kernel=_KERNEL, log_tag="hash-rank top-n")

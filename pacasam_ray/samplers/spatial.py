@@ -21,9 +21,15 @@ every stratum already at quota before any bytes shuffle. Hot slabs cannot
 skew the exchange beyond their quota + completion depth, both of which
 are O(n / strata) by the closed form, so a 10^12-row catalogue with a few
 thousand slabs shuffles megabytes, not terabytes.
+
+The sampler body is the shared ``Sampler.hash_rank_pick`` template; this
+module contributes only the kernel choice (stratified quota fill over
+file_id slabs) and its salt namespace.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import pandas as pd
 
@@ -31,17 +37,15 @@ from ..catalogue import PATCH_INFO
 from .algos import sample_with_stratification
 from .base import FILE_ID_COLNAME, SALT_SPATIAL, Sampler
 
+_KERNEL = partial(sample_with_stratification, strata=FILE_ID_COLNAME,
+                  columns=PATCH_INFO)
+
 
 class SpatialSampler(Sampler):
     def get_patches(self, catalogue, num_to_sample=None,
                     current_selection_ids=(), **kw) -> pd.DataFrame:
-        target = self.requested_total(num_to_sample)
-        pool = self.pool_without(catalogue, current_selection_ids,
-                                 columns=PATCH_INFO)
-        picked = sample_with_stratification(
-            pool, target, SALT_SPATIAL, strata=FILE_ID_COLNAME,
-            columns=PATCH_INFO)
-        self.log.info(
-            f"{self.name} slab-stratified pick: kept "
-            f"{min(target, len(picked))} of {target} requested")
-        return self.finalize_selection(picked)
+        return self.hash_rank_pick(
+            catalogue, num_to_sample=num_to_sample,
+            current_selection_ids=current_selection_ids,
+            salt=SALT_SPATIAL, kernel=_KERNEL,
+            log_tag="slab-stratified pick")
