@@ -31,7 +31,7 @@ from .sources.pages import extract_text_from_html, pages_from_documents
 from .stages.dedup import dedup_exact_prehashed
 from .stages.filters import exclude_ids, filter_by_boolean_indicator, filter_on_split
 from .stages.normalize import EPSILON, normalize_dataset
-from .stages.partitioning import pick_partitions
+from .stages.partitioning import pick_partitions, typed_table
 
 CAT = catalogue_sql("documents")
 CAT_FULL = catalogue_sql("documents", extra_cols=("doc_id", "n_chars", "lang"))
@@ -8889,6 +8889,506 @@ FROM sel LEFT JOIN val ON sel.patch_id = val.patch_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-5 wave: training-data realization + corpus-maintenance operators
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8            # shard_assign output-shard count
+SALT_SHARD = 12100      # shard membership hash
+SALT_SHARD_ORDER = 12200  # within-shard training order
+SALT_INTERLEAVE = 12300   # within-source order for source interleaving
+ENC_MIN_COUNT = 3       # encode_tokens vocabulary frequency threshold
+CDC_INSERT_OFFSET = 4_000_000  # apply_cdc synthetic insert id namespace
+DRIFT_BIN_W = 64        # drift_chi2 n_chars bin width
+DRIFT_NBINS = 16        # drift_chi2 bin count (last bin open-ended)
+
+
+def _order_key_batch(ids: np.ndarray, salt: int, what: str) -> np.ndarray:
+    """The repo's unique int64 order key for shuffled training order:
+    hmix(doc_id, salt)·2³¹ + doc_id mod 2³¹ — unique while doc_id < 2³¹
+    (the documented corpus bound shared with token_budget_mix /
+    webtext_curate; wider corpora must re-key or widen to a composite)."""
+    if len(ids) and ids.max() >= np.int64(2**31):
+        raise ValueError(f"{what} order key requires doc_id < 2**31")
+    return hmix(ids, salt) * np.int64(2**31) + ids % np.int64(2**31)
+
+
+def q_shard_assign(sf_dir: str):
+    """Training-shard writer layout: every document gets a deterministic
+    output shard (hmix mod N_SHARDS) and its exact position within that
+    shard under a shuffled-but-reproducible order key. This is the step
+    that turns a curated corpus into resumable training shards — any
+    worker computes any row's (shard, pos) with no coordination, so a
+    failed writer re-runs only its shard and lands every row in the same
+    slot. The position is the two-pass distributed prefix-sum scan
+    (stages/scan.grouped_prefix_sum with value 1), NOT a global sort:
+    pass 1 ships one (shard, bucket) partial count per block, pass 2
+    re-streams with offsets — no all-to-all exchange at any scale."""
+    from .stages.scan import grouped_prefix_sum
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "shard": pa.array(hmix(ids, SALT_SHARD) % np.int64(N_SHARDS)),
+            "rk": pa.array(_order_key_batch(ids, SALT_SHARD_ORDER,
+                                            "shard_assign")),
+            "one": pa.array(np.ones(len(ids), np.int64))})
+
+    scanned = grouped_prefix_sum(
+        ds.map_batches(_key, batch_format="pyarrow"),
+        "shard", "rk", "one", out_col="pos")
+    return scanned.map_batches(
+        lambda t: t.select(["doc_id", "shard", "pos"]),
+        batch_format="pyarrow")
+
+
+def _sql_shard_assign() -> str:
+    rk = (f"({hmix_sql('doc_id', SALT_SHARD_ORDER)} * 2147483648 "
+          f"+ doc_id % 2147483648)")
+    return f"""
+WITH k AS (SELECT doc_id,
+                  {hmix_sql('doc_id', SALT_SHARD)} % {N_SHARDS} AS shard,
+                  {rk} AS rk
+           FROM documents)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rk) - 1
+            AS BIGINT) AS pos
+FROM k"""
+
+
+def q_interleave_sources(sf_dir: str):
+    """Training-order realization across sources: each document gets its
+    within-source shuffled rank r (two-pass prefix-sum scan, no sort) and
+    its GLOBAL training position under (r, source) order — i.e. sources
+    interleaved round-robin, naturally thinning as smaller sources run
+    dry. The global position has a closed form from the bounded
+    per-source counts table: pos = Σ_s' min(r, n_s') + #{s' < s with
+    n_s' > r}, evaluated per batch with two searchsorted lookups against
+    the broadcast count arrays — so the op is two metadata-light passes
+    plus one tiny driver table, never a global sort shuffle."""
+    from .samplers.algos import strata_counts
+    from .stages.scan import grouped_prefix_sum
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pc.cast(t["source"], pa.string()),
+            "rk": pa.array(_order_key_batch(ids, SALT_INTERLEAVE,
+                                            "interleave_sources")),
+            "one": pa.array(np.ones(len(ids), np.int64))})
+
+    ranked = grouped_prefix_sum(
+        ds.map_batches(_key, batch_format="pyarrow"),
+        "source", "rk", "one", out_col="r")
+
+    counts = strata_counts(ds.select_columns(["source"]), "source")
+    if counts.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "source": pd.Series(dtype=object),
+                             "src_rank": pd.Series(dtype="int64"),
+                             "pos": pd.Series(dtype="int64")})
+    counts = counts.sort_values("source", kind="mergesort")
+    names = counts["source"].tolist()
+    n_name = counts["n"].to_numpy(np.int64)        # counts in name order
+    n_sorted = np.sort(n_name)                     # for Σ min(r, n_s')
+    n_prefix = np.concatenate([[0], np.cumsum(n_sorted)])
+    # per source: the SORTED counts of name-order-smaller sources, for the
+    # tie term #{s' < s : n_s' > r}
+    tie_sorted = {s: np.sort(n_name[:i]) for i, s in enumerate(names)}
+
+    def _pos(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        lt = np.searchsorted(n_sorted, r, side="right")
+        pos = n_prefix[lt] + r * (len(n_sorted) - lt)
+        for s, arr in tie_sorted.items():
+            m = src == s
+            if m.any() and len(arr):
+                pos[m] += len(arr) - np.searchsorted(arr, r[m], side="right")
+        return pa.table({"doc_id": t["doc_id"],
+                         "source": t["source"],
+                         "src_rank": pa.array(r, pa.int64()),
+                         "pos": pa.array(pos, pa.int64())})
+
+    return ranked.map_batches(_pos, batch_format="pyarrow")
+
+
+def _sql_interleave_sources() -> str:
+    rk = (f"({hmix_sql('doc_id', SALT_INTERLEAVE)} * 2147483648 "
+          f"+ doc_id % 2147483648)")
+    return f"""
+WITH r AS (SELECT doc_id, source,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY {rk}) - 1
+                  AS src_rank
+           FROM documents)
+SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY src_rank, source) - 1
+            AS BIGINT) AS pos
+FROM r"""
+
+
+def q_encode_tokens(sf_dir: str):
+    """Tokenizer APPLICATION: build the frequency-threshold vocabulary
+    (count ≥ ENC_MIN_COUNT), assign compact ids 1..V in lexicographic
+    term order, and encode every document — OOV tokens map to id 0. The
+    per-doc output is bounded but verifies the ENTIRE positional
+    encoding: checksum = Σ tok_id·pos₁ over the doc's tokens, exact in
+    int64 (bound: V·L²/2 < 2⁶³ ⇒ fine to V=10⁶-term vocabularies and
+    100k-token docs).
+
+    Distributed shape: per-batch (doc, term) pre-aggregation carries
+    w = Σ positions per term so the term-keyed encode join moves one row
+    per (doc, term), never per token; vocab ids come from the no-sort
+    global position assignment (per-first-char offsets + in-group rank,
+    samplers/diversity.assign_positions) and the vocab table itself is
+    never broadcast — the encode is a distributed hash join on term."""
+    from ray.data.aggregate import Sum
+
+    from .samplers.diversity import assign_positions
+    from .stages.joins import safe_join
+    from .stages.partitioning import checkpoint, schema_floor
+
+    ds = _docs(sf_dir)
+
+    def _tw(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        total = int(lens.sum())
+        starts = np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        pos1 = np.arange(total, dtype=np.int64) - starts + 1
+        df = pd.DataFrame({
+            "doc_id": np.repeat(
+                t["doc_id"].to_numpy(zero_copy_only=False), lens),
+            "term": pc.list_flatten(toks).to_pandas(),
+            "w": pos1, "occ": np.int64(1)})
+        g = df.groupby(["doc_id", "term"], sort=False, as_index=False).sum()
+        return typed_table(
+            pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                       ("w", pa.int64()), ("occ", pa.int64())]),
+            doc_id=g["doc_id"], term=g["term"], w=g["w"], occ=g["occ"])
+
+    tw = checkpoint(ds.map_batches(_tw, batch_format="pyarrow"), "enc_tw")
+
+    vc = tw.select_columns(["term", "occ"]) \
+           .groupby("term").aggregate(Sum("occ", alias_name="n"))
+    vocab = vc.filter(expr=f"n >= {ENC_MIN_COUNT}").map_batches(
+        lambda t: typed_table(
+            pa.schema([("term", pa.string()), ("pfx", pa.string())]),
+            term=t["term"], pfx=pc.utf8_slice_codeunits(t["term"], 0, 1)),
+        batch_format="pyarrow")
+    vocab = assign_positions(vocab, strata="pfx", id_col="term",
+                             pos_col="__vp").map_batches(
+        lambda df: pd.DataFrame({
+            "term": df["term"],
+            "tok_id": df["__vp"].to_numpy(np.int64) + 1}),
+        batch_format="pandas")
+
+    j = safe_join(
+        tw, vocab, join_type="left_outer", on=("term",),
+        left_schema=pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                               ("w", pa.int64()), ("occ", pa.int64())]),
+        right_schema=pa.schema([("term", pa.string()),
+                                ("tok_id", pa.int64())]))
+
+    def _doc_partial(t: pa.Table) -> pa.Table:
+        tok = t["tok_id"].to_numpy(zero_copy_only=False)
+        oov = np.isnan(tok.astype(np.float64)) if tok.dtype.kind == "f" \
+            else pd.isna(pd.Series(tok)).to_numpy()
+        tid = np.where(oov, 0, np.nan_to_num(
+            tok.astype(np.float64))).astype(np.int64)
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "n_tok": t["occ"].to_numpy(zero_copy_only=False),
+            "n_unk": np.where(
+                oov, t["occ"].to_numpy(zero_copy_only=False), 0),
+            "checksum": tid * t["w"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("doc_id", sort=False, as_index=False).sum()
+        return typed_table(
+            pa.schema([("doc_id", pa.int64()), ("n_tok", pa.int64()),
+                       ("n_unk", pa.int64()), ("checksum", pa.int64())]),
+            doc_id=g["doc_id"], n_tok=g["n_tok"], n_unk=g["n_unk"],
+            checksum=g["checksum"])
+
+    out = j.map_batches(_doc_partial, batch_format="pyarrow") \
+           .groupby("doc_id").aggregate(
+               Sum("n_tok", alias_name="n_tok"),
+               Sum("n_unk", alias_name="n_unk"),
+               Sum("checksum", alias_name="checksum"))
+    return schema_floor(out, pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"),
+        "n_tok": pd.Series(dtype="int64"),
+        "n_unk": pd.Series(dtype="int64"),
+        "checksum": pd.Series(dtype="int64")}))
+
+
+def _sql_encode_tokens() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+p AS (SELECT doc_id, l, unnest(range(1, array_length(l) + 1)) AS i FROM t),
+tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos1, l[CAST(i AS INT)] AS term
+        FROM p),
+vc AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1
+       HAVING COUNT(*) >= {ENC_MIN_COUNT}),
+vocab AS (SELECT term, ROW_NUMBER() OVER (ORDER BY term) AS tok_id FROM vc)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(CASE WHEN v.tok_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unk,
+       CAST(SUM(COALESCE(v.tok_id, 0) * pos1) AS BIGINT) AS checksum
+FROM tok LEFT JOIN vocab v USING (term)
+GROUP BY doc_id"""
+
+
+def q_drift_chi2(sf_dir: str):
+    """Distribution-drift monitor: per-source χ² decomposition of the
+    document-length (n_chars) distribution against the whole corpus,
+    over DRIFT_NBINS fixed integer bins (last bin open-ended). One row
+    per observed (source, bin): its exact count and its χ² contribution
+    (cs·ng − ns·cg)² / (ns·cg·ng) — kept PER BIN precisely so no float
+    summation happens anywhere (SQL SUM order over floats is
+    unspecified); the only float op is the one mirrored IEEE expression
+    over exact int64 aggregates (d fits int64 while total rows < 3·10⁹
+    per the cs·ng product bound — document-count, not byte, scale).
+    The (source, bin) count table is combiner-first: each block ships at
+    most sources × DRIFT_NBINS partial rows, merged on the driver like
+    strata_counts — bounded at any corpus size."""
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["source", "n_chars"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        nb = np.minimum(
+            t["n_chars"].to_numpy(zero_copy_only=False) // DRIFT_BIN_W,
+            DRIFT_NBINS - 1).astype(np.int64)
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "bin": nb, "cs": np.int64(1)})
+        g = df.groupby(["source", "bin"], sort=False, as_index=False).sum()
+        return typed_table(
+            pa.schema([("source", pa.string()), ("bin", pa.int64()),
+                       ("cs", pa.int64())]),
+            source=g["source"], bin=g["bin"], cs=g["cs"])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({"source": pd.Series(dtype=object),
+                          "bin": pd.Series(dtype="int64"),
+                          "cs": pd.Series(dtype="int64"),
+                          "chi2_term": pd.Series(dtype="float64")})
+    if parts.empty or "source" not in parts.columns:
+        return empty
+    g = parts.groupby(["source", "bin"], sort=False, as_index=False).sum()
+    ns = g.groupby("source")["cs"].transform("sum").to_numpy(np.int64)
+    cg = g.groupby("bin")["cs"].transform("sum").to_numpy(np.int64)
+    ng = np.int64(g["cs"].sum())
+    cs = g["cs"].to_numpy(np.int64)
+    d = cs * ng - ns * cg                     # exact int64 (bound above)
+    chi2 = (d.astype(np.float64) * d.astype(np.float64)) / (
+        ns.astype(np.float64) * cg.astype(np.float64) * np.float64(ng))
+    out = pd.DataFrame({"source": g["source"], "bin": g["bin"],
+                        "cs": cs, "chi2_term": chi2})
+    return out
+
+
+def _sql_drift_chi2() -> str:
+    return f"""
+WITH b AS (SELECT source,
+                  LEAST(n_chars // {DRIFT_BIN_W}, {DRIFT_NBINS - 1}) AS bin
+           FROM documents),
+g AS (SELECT source, bin, COUNT(*) AS cs FROM b GROUP BY 1, 2),
+s AS (SELECT source, SUM(cs) AS ns FROM g GROUP BY 1),
+c AS (SELECT bin, SUM(cs) AS cg FROM g GROUP BY 1),
+t AS (SELECT SUM(cs) AS ng FROM g)
+SELECT g.source, CAST(g.bin AS BIGINT) AS bin, CAST(g.cs AS BIGINT) AS cs,
+       (CAST(g.cs * t.ng - s.ns * c.cg AS DOUBLE)
+        * CAST(g.cs * t.ng - s.ns * c.cg AS DOUBLE))
+       / (CAST(s.ns AS DOUBLE) * CAST(c.cg AS DOUBLE) * CAST(t.ng AS DOUBLE))
+       AS chi2_term
+FROM g JOIN s USING (source) JOIN c USING (bin) CROSS JOIN t"""
+
+
+def q_apply_cdc(sf_dir: str):
+    """CDC MERGE (upsert + tombstone apply): materialize the current state
+    of a corpus from a base snapshot plus a change stream — updates
+    replace, inserts add, deletes remove. The change stream is derived
+    deterministically from the base (doc_id mod 5: 0→update, 1→delete,
+    2→insert under CDC_INSERT_OFFSET) so the oracle is closed-form.
+    Plan: tag base rows ver 0 and change rows ver 1, union the two
+    streams, then ONE key exchange (grouped_batch_map on doc_id) picks
+    the max-ver row per key and drops tombstones — latest-wins by
+    version, partition-count invariant, no driver state. This is the
+    maintenance pass an incrementally-crawled 100 TB corpus runs per
+    snapshot; at scale the change stream is ~% of the base, and the
+    exchange moves only (id, source, n_chars, ver) quads, never text."""
+    from .stages.partitioning import grouped_batch_map, schema_floor
+
+    base = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "source", "n_chars"])
+
+    def _base(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return typed_table(
+            _CDC_SCHEMA, doc_id=t["doc_id"],
+            source=pc.cast(t["source"], pa.string()), n_chars=t["n_chars"],
+            op=pa.array(["b"] * n, pa.string()),
+            ver=pa.array(np.zeros(n, np.int64)))
+
+    def _changes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        m = ids % 5
+        out_ids = np.concatenate([ids[m == 0], ids[m == 1],
+                                  ids[m == 2] + CDC_INSERT_OFFSET])
+        out_src = np.concatenate([np.full((m == 0).sum(), "upd", object),
+                                  src[m == 1],
+                                  np.full((m == 2).sum(), "new", object)])
+        out_nch = np.concatenate([nch[m == 0] + 1000, nch[m == 1],
+                                  nch[m == 2]])
+        out_op = np.concatenate([np.full((m == 0).sum(), "u", object),
+                                 np.full((m == 1).sum(), "d", object),
+                                 np.full((m == 2).sum(), "i", object)])
+        return typed_table(
+            _CDC_SCHEMA, doc_id=pa.array(out_ids, pa.int64()),
+            source=pa.array(out_src, pa.string()),
+            n_chars=pa.array(out_nch, pa.int64()),
+            op=pa.array(out_op, pa.string()),
+            ver=pa.array(np.ones(len(out_ids), np.int64)))
+
+    merged = base.map_batches(_base, batch_format="pyarrow").union(
+        base.map_batches(_changes, batch_format="pyarrow"))
+
+    def _latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "ver"], ascending=[True, False],
+                            kind="mergesort").reset_index(drop=True)
+        ids = df["doc_id"].to_numpy()
+        first = np.r_[True, ids[1:] != ids[:-1]] if len(df) else \
+            np.array([], bool)
+        win = df.loc[first]
+        return win.loc[win["op"] != "d",
+                       ["doc_id", "source", "n_chars"]]
+
+    return schema_floor(
+        grouped_batch_map(merged, ["doc_id"], _latest),
+        pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                      "source": pd.Series(dtype=object),
+                      "n_chars": pd.Series(dtype="int64")}))
+
+
+_CDC_SCHEMA = pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
+                         ("n_chars", pa.int64()), ("op", pa.string()),
+                         ("ver", pa.int64())])
+
+
+def _sql_apply_cdc() -> str:
+    return f"""
+WITH ch AS (
+  SELECT doc_id, 'upd' AS source, n_chars + 1000 AS n_chars, 'u' AS op
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, source, n_chars, 'd' FROM documents WHERE doc_id % 5 = 1
+  UNION ALL
+  SELECT doc_id + {CDC_INSERT_OFFSET}, 'new', n_chars, 'i'
+  FROM documents WHERE doc_id % 5 = 2),
+m AS (SELECT doc_id, source, n_chars, op, 1 AS ver FROM ch
+      UNION ALL
+      SELECT doc_id, source, n_chars, 'b', 0 FROM documents)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ver DESC) AS rn
+  FROM m)
+WHERE rn = 1 AND op <> 'd'"""
+
+
+def q_split_leakage(sf_dir: str) -> pd.DataFrame:
+    """Split-aware decontamination AUDIT — the check a team runs before
+    training: how many near-duplicate pairs straddle the train/val/test
+    boundary (a val doc nearly identical to a train doc = leakage).
+    Composes two existing mirrored kernels: the SimHash pigeonhole-exact
+    banded pair join (`functions/dedup.simhash_neardup_pairs`) and the
+    `hash_split` stamp. The stamp is a PURE function of doc_id (md5
+    bucket), so both endpoints of a pair are stamped inside the batch —
+    no join back to the corpus, the audit costs one extra map over the
+    (bounded) pair table. Driver-side rollup is ≤ 9 rows per block."""
+    from .functions.dedup import simhash_neardup_pairs
+
+    pairs = simhash_neardup_pairs(_docs(sf_dir), max_hamming=HAMMING_D)
+
+    def _split_of(ids: np.ndarray) -> np.ndarray:
+        out = np.empty(len(ids), dtype=object)
+        for k, v in enumerate(ids):
+            d = hashlib.md5(f"{v}:{HASH_SPLIT_SALT}".encode()).digest()
+            b = int.from_bytes(d[8:16], "little") % 100
+            out[k] = ("train" if b < HASH_SPLIT_TRAIN
+                      else "val" if b < HASH_SPLIT_VAL else "test")
+        return out
+
+    def _stamp(df: pd.DataFrame) -> pd.DataFrame:
+        sa = _split_of(df["doc_a"].to_numpy())
+        sb = _split_of(df["doc_b"].to_numpy())
+        keep = sa != sb
+        out = pd.DataFrame({"split_a": sa[keep], "split_b": sb[keep],
+                            "n_pairs": np.ones(int(keep.sum()), np.int64)})
+        return out.groupby(["split_a", "split_b"], sort=False,
+                           as_index=False).sum()
+
+    parts = pairs.map_batches(_stamp, batch_format="pandas").to_pandas()
+    empty = pd.DataFrame({"split_a": pd.Series(dtype=object),
+                          "split_b": pd.Series(dtype=object),
+                          "n_pairs": pd.Series(dtype="int64")})
+    if parts.empty or "split_a" not in parts.columns:
+        return empty
+    return parts.groupby(["split_a", "split_b"], sort=False,
+                         as_index=False).sum()
+
+
+def _sql_split_leakage() -> str:
+    from .functions.dedup import simhash_neardup_sql
+
+    bucket = (f"md5_number_lower(CAST({{c}} AS VARCHAR) "
+              f"|| ':{HASH_SPLIT_SALT}') % 100")
+    case = (f"CASE WHEN {bucket} < {HASH_SPLIT_TRAIN} THEN 'train' "
+            f"WHEN {bucket} < {HASH_SPLIT_VAL} THEN 'val' "
+            f"ELSE 'test' END")
+    return f"""
+WITH pairs AS ({simhash_neardup_sql('documents', max_hamming=HAMMING_D)})
+SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
+  SELECT {case.format(c='doc_a')} AS split_a,
+         {case.format(c='doc_b')} AS split_b
+  FROM pairs)
+WHERE split_a <> split_b
+GROUP BY 1, 2"""
+
+
+def q_dedup_fast_count(sf_dir: str) -> pd.DataFrame:
+    """Driver-gate surface for the NON-md5 fast-fingerprint dedup path
+    (functions/dedup.fingerprint64_fast — the vectorized 64-bit hash the
+    engine selects at scale when no md5 oracle twin is required): run the
+    real fast-path plan over the planted-duplicate corpus and report the
+    survivor count. COUNT(DISTINCT text) is the exact oracle as long as
+    the 64-bit fingerprint is collision-free on the corpus — which this
+    very gate verifies on every run (a collision would under-count and
+    go red)."""
+    from .functions.dedup import dedup_text_exact
+
+    n = dedup_text_exact(_docs_with_dups(sf_dir), method="fast").count()
+    return pd.DataFrame({"n_unique": pd.Series([n], dtype="int64")})
+
+
+SQL_DEDUP_FAST_COUNT = f"""
+WITH both_ AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + {DUP_OFFSET}, text FROM documents
+)
+SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique FROM both_
+"""
+
+
 def build_queries() -> dict:
     queries = {
         "tile_assign": q_tile_assign,
@@ -9059,6 +9559,13 @@ def build_queries() -> dict:
         "tfidf_cosine": q_tfidf_cosine,
         "bpe_merge_round": q_bpe_merge_round,
         "bpe_train_k": q_bpe_train_k,
+        "shard_assign": q_shard_assign,
+        "interleave_sources": q_interleave_sources,
+        "encode_tokens": q_encode_tokens,
+        "drift_chi2": q_drift_chi2,
+        "apply_cdc": q_apply_cdc,
+        "dedup_fast_count": q_dedup_fast_count,
+        "split_leakage": q_split_leakage,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -9278,6 +9785,13 @@ def build_oracle_sql() -> dict:
         "sampler_TripleSampler_counts": _sql_sampler_triple_counts(),
         "sampler_diversity_chunks": _sql_sampler_diversity_chunks(),
         "webtext_curate": _sql_webtext_curate(),
+        "shard_assign": _sql_shard_assign(),
+        "interleave_sources": _sql_interleave_sources(),
+        "encode_tokens": _sql_encode_tokens(),
+        "drift_chi2": _sql_drift_chi2(),
+        "apply_cdc": _sql_apply_cdc(),
+        "dedup_fast_count": SQL_DEDUP_FAST_COUNT,
+        "split_leakage": _sql_split_leakage(),
         "sampler_TargettedSampler": _sql_sampler("TargettedSampler"),
         "weighted_sample": _sql_weighted_sample(),
         "minhash_lsh": _sql_minhash_lsh(),

@@ -42,6 +42,10 @@ EDGE_QUERIES = [
     "cohort_retention", "events_lead", "unpivot_part", "regex_extract",
     "source_intersect", "source_except", "tfidf_topk", "edit_neardup",
     "transition_counts", "time_range_window", "window_dedup", "slab_nn",
+    # round-5: the crafted near-dup texts put SimHash pairs in EVERY
+    # split combination, so the leakage rollup's cross-split filter and
+    # the pure-function stamp both see non-trivial inputs here
+    "split_leakage",
 ]
 
 

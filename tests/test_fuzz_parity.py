@@ -55,7 +55,12 @@ DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
                # the e2e composite: short fuzz docs fail the Gopher word
                # minimum, so this mostly exercises the all-empty chain
                # (gates -> dedup -> scan on zero rows) on both engines
-               "webtext_curate"]
+               "webtext_curate",
+               # round-5 realization/maintenance wave: tiny corpora hit
+               # empty shards, single-source interleaves, all-OOV bins,
+               # and CDC branches where every mod-5 class is present
+               "shard_assign", "interleave_sources", "drift_chi2",
+               "apply_cdc", "dedup_fast_count"]
 
 # multi-shuffle / multi-join pipelines: ~5-20x the wall-clock of the list
 # above per example, so they fuzz at a reduced example count (the operator
@@ -63,7 +68,11 @@ DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
 # the suite budget)
 DOC_QUERIES_HEAVY = ["lm_score", "dsir_weights", "ngram_containment",
                      "ccnet_bucket", "vocab_oov", "pmi_collocations",
-                     "tfidf_cosine", "minhash_lsh", "bpe_train_k"]
+                     "tfidf_cosine", "minhash_lsh", "bpe_train_k",
+                     # empty-vocab path: every fuzz term below the count
+                     # threshold makes the id-assign + encode join run on
+                     # a zero-row vocab (the documented empty-block class)
+                     "encode_tokens"]
 
 
 def _assert_parity(name, sf_dir, con):
