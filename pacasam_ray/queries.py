@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
-from .catalogue import catalogue_sql
+from .catalogue import GRID, catalogue_sql
 from .functions.text import token_count_sql
 from .hashing import M31, hmix, hmix_sql
 from .pipelines.sampling import DEFAULT_CONFIG, make_catalogue, run_sampling
@@ -9389,6 +9389,230 @@ SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique FROM both_
 """
 
 
+# Z-order (Morton) spatial clustering — the layout pass behind
+# OPTIMIZE ZORDER in lakehouse table formats: interleave the tile grid
+# coordinates bit-by-bit so rows that are close in 2-D land close in the
+# 1-D output order, then stamp each row's global output position.
+ZORDER_BITS = 9
+assert GRID <= (1 << ZORDER_BITS)
+
+
+def _morton_np(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    code = np.zeros(len(gx), dtype=np.int64)
+    for i in range(ZORDER_BITS):
+        code |= ((gx >> i) & 1) << (2 * i)
+        code |= ((gy >> i) & 1) << (2 * i + 1)
+    return code
+
+
+def q_zorder_positions(sf_dir: str):
+    """Z-order clustering sort: every patch's global output rank under
+    (morton(gx, gy), patch_id) — the write order a Z-ordered rewrite of
+    the catalogue would use — WITHOUT a full sort shuffle. Plan: morton
+    codes are a stateless vectorized bit-interleave inside the catalogue
+    map; ranks come from `assign_positions` (per-code offsets from a
+    shuffle-free partial-counts scan + one groupby keyed by the code).
+    Scale: the offsets table is bounded by GRID² cells regardless of
+    corpus size, and the single exchange is keyed by the morton code —
+    exactly the co-location the downstream partitioned write needs, so
+    the shuffle does double duty as the layout pass."""
+    from .samplers.diversity import assign_positions
+
+    cat = make_catalogue(sf_dir).select_columns(["patch_id", "cell"])
+
+    def _code(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        gx = cell % GRID
+        gy = cell // GRID
+        return pa.table({
+            "patch_id": t["patch_id"],
+            "morton": pa.array(_morton_np(gx, gy)),
+        })
+
+    ds = cat.map_batches(_code, batch_format="pyarrow", zero_copy_batch=True)
+    out = assign_positions(ds, strata="morton", id_col="patch_id",
+                           pos_col="__pos")
+    return out.map_batches(
+        lambda df: df.rename(columns={"__pos": "zpos"}), batch_format="pandas"
+    )
+
+
+def _sql_zorder_positions() -> str:
+    morton = " + ".join(
+        f"(((gx >> {i}) & 1) << {2 * i}) + (((gy >> {i}) & 1) << {2 * i + 1})"
+        for i in range(ZORDER_BITS)
+    )
+    return f"""
+WITH g AS (
+  SELECT patch_id, cell % {GRID} AS gx, cell // {GRID} AS gy
+  FROM ({CAT}) cat
+), m AS (
+  SELECT patch_id, CAST({morton} AS BIGINT) AS morton FROM g
+)
+SELECT patch_id, morton,
+       ROW_NUMBER() OVER (ORDER BY morton, patch_id) - 1 AS zpos
+FROM m
+"""
+
+
+def q_tukey_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-source Tukey-fence outlier audit on doc length: exact DISC
+    quartiles (element at floor((n-1)·q)) and counts outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR]. All arithmetic stays integer — the
+    1.5× fence is compared as 2·v vs 2·q1 − 3·IQR, so there is no float
+    on either engine. Plan: ONE pass of per-batch partial
+    (source, n_chars) value counts (combiner), then the quartiles, CDF
+    and fence counts all come from that counts table — no second scan
+    and no per-source sort shuffle. Scale: the counts table is bounded
+    by |sources| × |distinct lengths| (value-domain-bounded, NOT
+    corpus-bounded), so the driver merge is constant-size at any corpus;
+    above ~1e6 distinct pairs the same reduction runs as a
+    grouped_batch_map keyed by source."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vc = pa.TableGroupBy(t, ["source", "n_chars"]).aggregate(
+            [([], "count_all")]
+        )
+        return vc.rename_columns(["source", "n_chars", "n"])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or "source" not in parts.columns:
+        return pd.DataFrame({c: pd.Series(dtype="int64") if c != "source"
+                             else pd.Series(dtype=object)
+                             for c in ["source", "n_docs", "q1", "q3",
+                                       "n_low", "n_high"]})
+    counts = parts.groupby(["source", "n_chars"], sort=True)["n"] \
+                  .sum().reset_index()
+    rows = []
+    for src, g in counts.groupby("source", sort=True):
+        v = g["n_chars"].to_numpy()          # sorted ascending (sort=True)
+        c = g["n"].to_numpy()
+        cum = c.cumsum()
+        n = int(cum[-1])
+        q1 = int(v[np.searchsorted(cum, (n - 1) * 25 // 100 + 1)])
+        q3 = int(v[np.searchsorted(cum, (n - 1) * 75 // 100 + 1)])
+        iqr = q3 - q1
+        n_low = int(c[2 * v < 2 * q1 - 3 * iqr].sum())
+        n_high = int(c[2 * v > 2 * q3 + 3 * iqr].sum())
+        rows.append((src, n, q1, q3, n_low, n_high))
+    return pd.DataFrame(rows, columns=["source", "n_docs", "q1", "q3",
+                                       "n_low", "n_high"]).astype(
+        {c: "int64" for c in ["n_docs", "q1", "q3", "n_low", "n_high"]})
+
+
+SQL_TUKEY_OUTLIERS = """
+WITH r AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+), q AS (
+  SELECT source, MAX(n) AS n,
+         MAX(CASE WHEN rn = (n - 1) * 25 // 100 + 1 THEN n_chars END) AS q1,
+         MAX(CASE WHEN rn = (n - 1) * 75 // 100 + 1 THEN n_chars END) AS q3
+  FROM r GROUP BY source
+)
+SELECT q.source, CAST(q.n AS BIGINT) AS n_docs,
+       CAST(q.q1 AS BIGINT) AS q1, CAST(q.q3 AS BIGINT) AS q3,
+       CAST(SUM(CASE WHEN 2 * d.n_chars < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN 2 * d.n_chars > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM documents d JOIN q ON d.source = q.source
+GROUP BY q.source, q.n, q.q1, q.q3
+"""
+
+
+ASOF_TOL_US = 21_600_000_000  # 6 h: clicks more than 6 h after the purchase don't attribute
+
+
+def q_asof_tolerance(sf_dir: str):
+    """Bounded-lookback as-of join (attribution-window semantics): each
+    click matched to the user's latest purchase at or before it, but only
+    if that purchase is within ASOF_TOL_US. Same single co-partitioning
+    shuffle + merge_asof C kernel as `asof_join`; the tolerance is a
+    kernel parameter, not a post-filter, so unmatched rows never leave
+    the bucket."""
+    from .stages.asof import asof_join_backward
+
+    ev = f"{sf_dir}/events.parquet"
+    base = read_parquet_sized(ev, columns=["event_id", "user_id", "ts", "event_type"])
+    clicks = base.filter(expr="event_type == 'click'")
+    purchases = base.filter(expr="event_type == 'purchase'")
+    return asof_join_backward(
+        clicks, purchases, by="user_id", on="ts",
+        left_id="event_id", right_id="event_id",
+        out_right_id="purchase_id", out_delta_us="wait_us",
+        tolerance_us=ASOF_TOL_US,
+    )
+
+
+SQL_ASOF_TOLERANCE = f"""
+SELECT * FROM (
+  SELECT e.event_id, e.user_id, p.event_id AS purchase_id,
+         epoch_us(e.ts) - epoch_us(p.ts) AS wait_us
+  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') e
+  ASOF JOIN (
+      SELECT user_id, ts, MIN(event_id) AS event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+  ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+) WHERE wait_us <= {ASOF_TOL_US}
+ORDER BY event_id
+"""
+
+
+def q_cube_agg(sf_dir: str) -> pd.DataFrame:
+    """CUBE(lang, source) — all four grouping sets (leaf, per-lang,
+    per-source, grand total) of doc count + total chars, with the 'ALL'
+    sentinel. Plan: ONE per-batch partial aggregate on the leaf key
+    (lang, source) → tiny driver merge; every rollup level is then an
+    aggregate OF the leaf aggregates (count/sum are associative), so the
+    corpus is scanned once and no grouping set costs a second pass.
+    Scale: the leaf table is |langs| × |sources| rows — constant in
+    corpus size."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["lang", "source"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")]
+        )
+        return g.rename_columns(["lang", "source", "n_docs", "sum_chars"])
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    cols = ["lang", "source", "n_docs", "sum_chars"]
+    if parts.empty or "lang" not in parts.columns:
+        return pd.DataFrame({"lang": pd.Series(dtype=object),
+                             "source": pd.Series(dtype=object),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "sum_chars": pd.Series(dtype="int64")})
+    leaf = parts.groupby(["lang", "source"], sort=False, as_index=False)[
+        ["n_docs", "sum_chars"]].sum()
+    by_lang = leaf.groupby("lang", sort=False, as_index=False)[
+        ["n_docs", "sum_chars"]].sum().assign(source="ALL")
+    by_src = leaf.groupby("source", sort=False, as_index=False)[
+        ["n_docs", "sum_chars"]].sum().assign(lang="ALL")
+    total = pd.DataFrame({"lang": ["ALL"], "source": ["ALL"],
+                          "n_docs": [leaf["n_docs"].sum()],
+                          "sum_chars": [leaf["sum_chars"].sum()]})
+    out = pd.concat([leaf[cols], by_lang[cols], by_src[cols], total[cols]],
+                    ignore_index=True)
+    return out.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+
+SQL_CUBE_AGG = """
+SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
 def build_queries() -> dict:
     queries = {
         "tile_assign": q_tile_assign,
@@ -9566,6 +9790,10 @@ def build_queries() -> dict:
         "apply_cdc": q_apply_cdc,
         "dedup_fast_count": q_dedup_fast_count,
         "split_leakage": q_split_leakage,
+        "zorder_positions": q_zorder_positions,
+        "tukey_outliers": q_tukey_outliers,
+        "asof_tolerance": q_asof_tolerance,
+        "cube_agg": q_cube_agg,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -9792,6 +10020,10 @@ def build_oracle_sql() -> dict:
         "apply_cdc": _sql_apply_cdc(),
         "dedup_fast_count": SQL_DEDUP_FAST_COUNT,
         "split_leakage": _sql_split_leakage(),
+        "zorder_positions": _sql_zorder_positions(),
+        "tukey_outliers": SQL_TUKEY_OUTLIERS,
+        "asof_tolerance": SQL_ASOF_TOLERANCE,
+        "cube_agg": SQL_CUBE_AGG,
         "sampler_TargettedSampler": _sql_sampler("TargettedSampler"),
         "weighted_sample": _sql_weighted_sample(),
         "minhash_lsh": _sql_minhash_lsh(),

@@ -35,11 +35,18 @@ def asof_join_backward_ds(
     out_right_id: str,
     out_delta_us: str | None = None,
     num_partitions: int | None = None,
+    tolerance_us: int | None = None,
 ):
     """Inner backward as-of join as a streaming Dataset of (left_id, by,
     out_right_id [, out_delta_us]) — one row per matched left row, never
     materialized on the driver. This is the scale entry point; the
-    DataFrame wrapper below is for small results/oracle comparison."""
+    DataFrame wrapper below is for small results/oracle comparison.
+
+    ``tolerance_us``: maximum backward gap (µs for datetime keys, key
+    units otherwise); a left row whose nearest predecessor is further
+    back than this is unmatched (dropped, inner semantics) — equivalent
+    to filtering the unbounded join on ``delta <= tolerance`` because
+    the backward join only ever considers the nearest predecessor."""
 
     def _tag(side: int, id_col: str):
         def _f(batch: pa.Table) -> pa.Table:
@@ -76,12 +83,18 @@ def asof_join_backward_ds(
             subset=[by, on], keep="first"
         )
         l = l.sort_values([on, "__id"], kind="mergesort")
+        tol = None
+        if tolerance_us is not None:
+            tol = (pd.Timedelta(tolerance_us, unit="us")
+                   if np.issubdtype(l[on].dtype, np.datetime64)
+                   else tolerance_us)
         m = pd.merge_asof(
             l[[by, on, "__id"]].rename(columns={"__id": "__lid"}),
             r[[by, on, "__id"]].rename(columns={"__id": "__rid",
                                                  on: "__ron"}),
             left_on=on, right_on="__ron", by=by,
             direction="backward", allow_exact_matches=True,
+            tolerance=tol,
         )
         m = m[m["__rid"].notna()]
         lon, ron = m[on].to_numpy(), m["__ron"].to_numpy()
