@@ -9613,6 +9613,68 @@ GROUP BY CUBE (lang, source)
 """
 
 
+def q_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """Per-group WEIGHTED median (lower): per l_returnflag, the smallest
+    price whose cumulative quantity weight reaches half the group total
+    (2·cumw ≥ W — doubled-integer comparison, no float midpoint). Plan:
+    ONE per-batch partial (flag, price-cents) weight-sum combiner, then
+    the weighted CDF walk runs on that counts table — same
+    value-domain-bounded shape as `tukey_outliers`: the exchanged table
+    is |flags| × |distinct prices| rows no matter the corpus size.
+    Prices are exact integer cents; quantities are whole numbers."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        w = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        df = pd.DataFrame({
+            "flag": t["l_returnflag"].to_numpy(zero_copy_only=False),
+            "cents": cents, "w": w,
+        })
+        g = df.groupby(["flag", "cents"], sort=False, as_index=False)["w"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or "flag" not in parts.columns:
+        return pd.DataFrame({"l_returnflag": pd.Series(dtype=object),
+                             "total_w": pd.Series(dtype="int64"),
+                             "wmedian": pd.Series(dtype="float64")})
+    counts = parts.groupby(["flag", "cents"], sort=True)["w"].sum().reset_index()
+    rows = []
+    for flag, g in counts.groupby("flag", sort=True):
+        v = g["cents"].to_numpy()            # ascending (sort=True)
+        cum = g["w"].to_numpy().cumsum()
+        total = int(cum[-1])
+        idx = int(np.searchsorted(2 * cum, total))  # first 2·cumw ≥ W
+        rows.append((flag, total, v[idx] / 100.0))
+    return pd.DataFrame(rows, columns=["l_returnflag", "total_w", "wmedian"]) \
+             .astype({"total_w": "int64", "wmedian": "float64"})
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(ROUND(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+), r AS (
+  SELECT l_returnflag, cents,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cumw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS total
+  FROM c
+)
+SELECT l_returnflag, CAST(MAX(total) AS BIGINT) AS total_w,
+       CAST(MIN(CASE WHEN 2 * cumw >= total THEN cents END) AS BIGINT)
+         / 100.0 AS wmedian
+FROM r GROUP BY l_returnflag
+"""
+
+
 def build_queries() -> dict:
     queries = {
         "tile_assign": q_tile_assign,
@@ -9794,6 +9856,7 @@ def build_queries() -> dict:
         "tukey_outliers": q_tukey_outliers,
         "asof_tolerance": q_asof_tolerance,
         "cube_agg": q_cube_agg,
+        "weighted_median": q_weighted_median,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -10024,6 +10087,7 @@ def build_oracle_sql() -> dict:
         "tukey_outliers": SQL_TUKEY_OUTLIERS,
         "asof_tolerance": SQL_ASOF_TOLERANCE,
         "cube_agg": SQL_CUBE_AGG,
+        "weighted_median": SQL_WEIGHTED_MEDIAN,
         "sampler_TargettedSampler": _sql_sampler("TargettedSampler"),
         "weighted_sample": _sql_weighted_sample(),
         "minhash_lsh": _sql_minhash_lsh(),

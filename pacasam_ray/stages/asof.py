@@ -132,4 +132,16 @@ def asof_join_backward(left_ds, right_ds, **kw) -> pd.DataFrame:
     sorts by the left id for stable presentation. Use
     :func:`asof_join_backward_ds` when the result is itself big data."""
     out = asof_join_backward_ds(left_ds, right_ds, **kw).to_pandas()
+    if kw["left_id"] not in out.columns:
+        # fully-empty result: Ray 2.49 to_pandas() drops the schema when
+        # every block is zero-row (the documented empty-block class) —
+        # rebuild the typed empty from the left side's arrow schema
+        by = kw["by"]
+        by_dtype = left_ds.schema().base_schema.field(by).type.to_pandas_dtype()
+        cols = {kw["left_id"]: pd.Series(dtype="int64"),
+                by: pd.Series(dtype=by_dtype),
+                kw["out_right_id"]: pd.Series(dtype="int64")}
+        if kw.get("out_delta_us"):
+            cols[kw["out_delta_us"]] = pd.Series(dtype="int64")
+        return pd.DataFrame(cols)
     return out.sort_values([kw["left_id"]], kind="mergesort").reset_index(drop=True)

@@ -46,6 +46,14 @@ EDGE_QUERIES = [
     # split combination, so the leakage rollup's cross-split filter and
     # the pure-function stamp both see non-trivial inputs here
     "split_leakage",
+    # round-5 second wave: tiny per-source groups (n=3/4 DISC quartiles,
+    # IQR 0 on ties), equal-timestamp click/purchase pairs under the
+    # as-of tolerance, 7-row Morton ranking, and a CUBE whose lang level
+    # collapses to one value
+    "tukey_outliers", "asof_tolerance", "zorder_positions", "cube_agg",
+    # singleton group (flag C via one row) + all-equal-price group put the
+    # weighted median exactly on the first and only CDF step
+    "weighted_median",
 ]
 
 

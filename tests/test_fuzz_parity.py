@@ -30,6 +30,9 @@ EVENT_QUERIES = [
     "string_agg_sorted", "window_dedup", "time_range_window",
     "events_dedup_latest", "transition_counts", "events_sessions",
     "cumulative_users",
+    # round-5: tie-prone minute grid puts click/purchase pairs exactly on
+    # the tolerance boundary and on equal timestamps
+    "asof_tolerance",
 ]
 
 DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
@@ -60,7 +63,12 @@ DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
                # empty shards, single-source interleaves, all-OOV bins,
                # and CDC branches where every mod-5 class is present
                "shard_assign", "interleave_sources", "drift_chi2",
-               "apply_cdc", "dedup_fast_count"]
+               "apply_cdc", "dedup_fast_count",
+               # round-5 third wave: tiny corpora give 1-2-doc sources
+               # (DISC quartiles where q1 = q3 = the only element, IQR 0),
+               # Morton ranks over hash-colliding cells, and CUBE levels
+               # that collapse to single leaves
+               "tukey_outliers", "zorder_positions", "cube_agg"]
 
 # multi-shuffle / multi-join pipelines: ~5-20x the wall-clock of the list
 # above per example, so they fuzz at a reduced example count (the operator
@@ -214,7 +222,10 @@ def test_fuzz_embedding_ops(picks, ray_session, tmp_path_factory):
 
 
 JOIN_QUERIES = ["left_join", "full_join", "semi_join_shuffle",
-                "tpch_q3", "tpch_q12", "hits", "grouped_winsorize"]
+                "tpch_q3", "tpch_q12", "hits", "grouped_winsorize",
+                # round-5: two-value price/weight domains force weighted
+                # medians onto the exact 2·cumw == W boundary
+                "weighted_median"]
 
 # order rows straddle HIGH_ORDER_PRICE / Q3 / Q12 windows so every filter
 # can come up empty, partially empty, or full — the shapes that exercise
