@@ -9675,6 +9675,162 @@ FROM r GROUP BY l_returnflag
 """
 
 
+INTERVAL_LEN_US = 300_000_000  # each event opens a 5-min activity interval
+
+
+def q_interval_union(sf_dir: str):
+    """Interval-union coverage (gaps-and-islands): each event opens a
+    fixed-length activity interval; per user, the total UNION length of
+    those (overlapping) intervals and the island count. Plan: one hash
+    co-partitioning on user_id (`grouped_batch_map`), then the whole
+    partition resolves in vectorized pandas — sort, per-user running-max
+    interval end (C-level groupby cummax), island breaks where a start
+    exceeds every preceding end, per-island min-start/max-end. All
+    arithmetic is integer µs — exact on both engines."""
+    from .stages.partitioning import grouped_batch_map, schema_floor
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def _cover(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        s = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        e = s + INTERVAL_LEN_US
+        df = df.assign(__s=s, __e=e)
+        cummax = df.groupby("user_id", sort=False)["__e"].cummax().to_numpy()
+        uid = df["user_id"].to_numpy()
+        brk = np.ones(len(df), dtype=bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | (s[1:] > cummax[:-1])
+        df["__isl"] = brk.cumsum()
+        isl = df.groupby(["user_id", "__isl"], sort=False).agg(
+            st=("__s", "min"), en=("__e", "max")).reset_index()
+        isl["span"] = isl["en"] - isl["st"]
+        out = isl.groupby("user_id", sort=True).agg(
+            covered_us=("span", "sum"), n_islands=("span", "size")
+        ).reset_index()
+        return out.astype({"covered_us": "int64", "n_islands": "int64"})
+
+    empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                          "covered_us": pd.Series(dtype="int64"),
+                          "n_islands": pd.Series(dtype="int64")})
+    return schema_floor(grouped_batch_map(ds, ["user_id"], _cover), empty)
+
+
+SQL_INTERVAL_UNION = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {INTERVAL_LEN_US} AS en
+  FROM events
+), m AS (
+  SELECT *, MAX(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_e
+  FROM e
+), f AS (
+  SELECT *, CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END AS brk
+  FROM m
+), i AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                           ROWS UNBOUNDED PRECEDING) AS isl
+  FROM f
+), g AS (
+  SELECT user_id, isl, MIN(s) AS st, MAX(en) AS iend
+  FROM i GROUP BY user_id, isl
+)
+SELECT user_id, CAST(SUM(iend - st) AS BIGINT) AS covered_us,
+       CAST(COUNT(*) AS BIGINT) AS n_islands
+FROM g GROUP BY user_id
+"""
+
+
+THROTTLE_GAP_US = 600_000_000  # keep at most one event per user per 10 min
+
+
+def q_throttle_dedup(sf_dir: str):
+    """Greedy rate-limit dedup: per user, keep an event iff it is at
+    least THROTTLE_GAP_US after the last KEPT event — the inherently
+    SEQUENTIAL per-stream rule (each decision depends on the previous
+    one), solved without a per-row loop. Plan: one user_id
+    co-partitioning shuffle; inside each partition the greedy closure is
+    jump-pointer chasing — every event's 'next event ≥ GAP later' is ONE
+    forward merge_asof (a single C kernel vectorized across all users in
+    the bucket), then the kept set follows those pointers from each
+    user's first event, processing ONE FRONTIER PER STEP (one live node
+    per user, all users advanced in a single vectorized gather). Steps
+    per partition = max kept-chain length ≤ stream timespan / GAP —
+    bounded by the time window, independent of corpus row count. Oracle:
+    the identical jump table via forward ASOF self-join + a recursive
+    pointer-chase CTE (no aggregates in recursion, so it is pure
+    closure)."""
+    from .stages.partitioning import grouped_batch_map, schema_floor
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def _throttle(df: pd.DataFrame) -> pd.DataFrame:
+        # greedy can only ever keep the smallest event_id of a (user, ts)
+        # tie group (any later same-ts event is 0 < GAP after it)
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        df = df.drop_duplicates(["user_id", "ts"], keep="first") \
+               .reset_index(drop=True)
+        n = len(df)
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        left = pd.DataFrame({"user_id": uid, "key": us + THROTTLE_GAP_US,
+                             "src": np.arange(n, dtype=np.int64)})
+        right = pd.DataFrame({"user_id": uid, "rts": us,
+                              "dst": np.arange(n, dtype=np.int64)})
+        j = pd.merge_asof(left.sort_values("key", kind="mergesort"),
+                          right.sort_values("rts", kind="mergesort"),
+                          left_on="key", right_on="rts", by="user_id",
+                          direction="forward", allow_exact_matches=True)
+        jump = np.full(n, -1, dtype=np.int64)
+        hit = j["dst"].notna().to_numpy()
+        jump[j["src"].to_numpy()[hit]] = j["dst"].to_numpy()[hit]
+        first = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]) \
+            if n else np.array([], dtype=np.int64)
+        kept = np.zeros(n, dtype=bool)
+        frontier = first
+        while len(frontier):                    # ≤ timespan/GAP iterations
+            kept[frontier] = True
+            nxt = jump[frontier]
+            frontier = nxt[nxt >= 0]
+        out = df.loc[kept, ["user_id", "event_id", "ts"]]
+        return out.reset_index(drop=True)
+
+    empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                          "event_id": pd.Series(dtype="int64"),
+                          "ts": pd.Series(dtype="datetime64[us]")})
+    return schema_floor(grouped_batch_map(ds, ["user_id"], _throttle), empty)
+
+
+SQL_THROTTLE_DEDUP = f"""
+WITH RECURSIVE d AS (
+  SELECT user_id, ts, MIN(event_id) AS event_id
+  FROM events GROUP BY user_id, ts
+), idx AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS tsk,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS pos
+  FROM d
+), jumps AS (
+  SELECT l.user_id, l.pos, r.pos AS next_pos
+  FROM (SELECT user_id, pos, tsk + {THROTTLE_GAP_US} AS lk FROM idx) l
+  ASOF JOIN idx r ON l.user_id = r.user_id AND l.lk <= r.tsk
+), kept AS (
+  SELECT user_id, pos FROM idx WHERE pos = 1
+  UNION ALL
+  SELECT j.user_id, j.next_pos
+  FROM kept k JOIN jumps j ON j.user_id = k.user_id AND j.pos = k.pos
+)
+SELECT i.user_id, i.event_id, i.ts
+FROM kept k JOIN idx i ON i.user_id = k.user_id AND i.pos = k.pos
+"""
+
+
 def build_queries() -> dict:
     queries = {
         "tile_assign": q_tile_assign,
@@ -9857,6 +10013,8 @@ def build_queries() -> dict:
         "asof_tolerance": q_asof_tolerance,
         "cube_agg": q_cube_agg,
         "weighted_median": q_weighted_median,
+        "interval_union": q_interval_union,
+        "throttle_dedup": q_throttle_dedup,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -10088,6 +10246,8 @@ def build_oracle_sql() -> dict:
         "asof_tolerance": SQL_ASOF_TOLERANCE,
         "cube_agg": SQL_CUBE_AGG,
         "weighted_median": SQL_WEIGHTED_MEDIAN,
+        "interval_union": SQL_INTERVAL_UNION,
+        "throttle_dedup": SQL_THROTTLE_DEDUP,
         "sampler_TargettedSampler": _sql_sampler("TargettedSampler"),
         "weighted_sample": _sql_weighted_sample(),
         "minhash_lsh": _sql_minhash_lsh(),

@@ -54,6 +54,9 @@ EDGE_QUERIES = [
     # singleton group (flag C via one row) + all-equal-price group put the
     # weighted median exactly on the first and only CDF step
     "weighted_median",
+    # equal-timestamp pairs (user 7) hit the (user, ts) tie pre-dedup in
+    # the throttle closure and a zero-length island gap in the union
+    "interval_union", "throttle_dedup",
 ]
 
 

@@ -33,6 +33,10 @@ EVENT_QUERIES = [
     # round-5: tie-prone minute grid puts click/purchase pairs exactly on
     # the tolerance boundary and on equal timestamps
     "asof_tolerance",
+    # round-5 third wave: colliding users + the minute grid land events
+    # exactly on interval ends (s == prev_e is NOT a break) and exactly
+    # GAP apart (>= keeps), the two off-by-one traps of each closure
+    "interval_union", "throttle_dedup",
 ]
 
 DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
