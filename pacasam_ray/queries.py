@@ -9831,6 +9831,450 @@ FROM kept k JOIN idx i ON i.user_id = k.user_id AND i.pos = k.pos
 """
 
 
+TRI_SALT = 14100
+TRI_P10 = 3  # keep an edge iff hmix(pairkey) % 10 < 3 (sampling rate p=0.3)
+
+
+def q_triangle_doulion(sf_dir: str):
+    """DOULION-style triangle counting (Tsourakakis et al., KDD 2009) on
+    the supplier co-purchase graph: each undirected edge survives a
+    deterministic hash coin at rate p, triangles are counted on the
+    sparsified graph (the paper's unbiased estimate is t/p³). Plan:
+    per-part supplier pairs via a bucket-local self-merge
+    (`grouped_batch_map` on part — whole parts per bucket, pair fan-out
+    m² bounded by per-part supplier count), global pair-distinct via one
+    (a,b) hash shuffle where the hash coin also drops ~1-p of the edges
+    BEFORE the wedge join, then the standard two-join plan: wedges
+    e1(a,m)⋈e2(m,c) + closing-edge semi-join on (a,c). The coin is the
+    scale lever — wedge volume shrinks by p² before the heaviest join.
+    (At production scale the wedge join would additionally orient edges
+    by (degree, id) to bound per-node fan-out; id-orientation keeps the
+    SQL twin simple at this graph size.)"""
+    from .stages.joins import safe_join
+    from .stages.partitioning import grouped_batch_map, scrub_empty_blocks
+
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+
+    def _ps(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p": t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "s": t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)})
+        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
+
+    ps = li.map_batches(_ps, batch_format="pyarrow")
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="p")
+        m = m[m.s_x < m.s_y]
+        out = m.rename(columns={"s_x": "a", "s_y": "b"})[["a", "b"]]
+        return out.drop_duplicates().reset_index(drop=True)
+
+    raw = grouped_batch_map(ps, ["p"], _pairs)
+
+    def _coin_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        key = df["a"].to_numpy() * np.int64(131071) + df["b"].to_numpy()
+        return df[hmix(key, TRI_SALT) % 10 < TRI_P10].reset_index(drop=True)
+
+    e = scrub_empty_blocks(grouped_batch_map(raw, ["a", "b"], _coin_dedup))
+    kept = e.count()
+    if kept == 0:
+        # coin dropped every edge: 0 wedges, 0 triangles — short-circuit
+        # rather than rename/join on blocks that may carry no schema
+        return pd.DataFrame({"kept_edges": pd.array([0], dtype="int64"),
+                             "tri_sparse": pd.array([0], dtype="int64")})
+    # rename per side before the self-joins so no column collides
+    e1 = e.map_batches(lambda t: t.rename_columns(["wa", "m"]),
+                       batch_format="pyarrow")
+    e2 = e.map_batches(lambda t: t.rename_columns(["m", "c"]),
+                       batch_format="pyarrow")
+    w = safe_join(e1, e2, join_type="inner", on=("m",))
+    tri = safe_join(w, e, join_type="inner",
+                    on=("wa", "c"), right_on=("a", "b"))
+    n_tri = tri.count()
+    return pd.DataFrame({"kept_edges": pd.array([kept], dtype="int64"),
+                         "tri_sparse": pd.array([n_tri], dtype="int64")})
+
+
+SQL_TRIANGLE_DOULION = f"""
+WITH pe AS (SELECT DISTINCT l_partkey p, l_suppkey s FROM lineitem),
+raw AS (SELECT DISTINCT x.s AS a, y.s AS b FROM pe x JOIN pe y USING (p)
+        WHERE x.s < y.s),
+e AS (SELECT a, b FROM raw
+      WHERE ({hmix_sql('a * 131071 + b', TRI_SALT)}) % 10 < {TRI_P10}),
+w AS (SELECT e1.a AS a, e1.b AS m, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS kept_edges,
+       CAST(COUNT(*) AS BIGINT) AS tri_sparse
+FROM w JOIN e ON e.a = w.a AND e.b = w.c
+"""
+
+
+def q_trade_reciprocity(sf_dir: str):
+    """Directed flow reciprocity on the supplier-nation → customer-nation
+    trade graph: per ordered nation pair the lineitem flow count, then for
+    each unordered pair both directions and their min (the reciprocated
+    volume). Plan: lineitem⋈orders on orderkey (the one big exchange,
+    payload pruned to two int columns), nation keys attached from the
+    BROADCAST customer/supplier key maps (small side — never shuffled),
+    per-batch (sn,cn) combiner then a ≤n² Sum groupby; the final
+    direction-pairing runs on the driver over the ≤n² aggregate. Scale:
+    the only all-to-all moves 2-int rows; everything after the combiner
+    is nation²-bounded regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    from .stages.joins import safe_join
+    from .stages.partitioning import scrub_empty_blocks
+
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey"])
+    orders = read_parquet_sized(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+
+    def _sorted_map(keys, vals):
+        k = np.asarray(keys, dtype=np.int64)
+        v = np.asarray(vals, dtype=np.int64)
+        o = np.argsort(k, kind="stable")
+        return {"k": k[o], "n": v[o]}
+
+    c_ref = ray.put(_sorted_map(cust["c_custkey"].to_numpy(zero_copy_only=False),
+                                cust["c_nationkey"].to_numpy(zero_copy_only=False)))
+    s_ref = ray.put(_sorted_map(supp["s_suppkey"].to_numpy(zero_copy_only=False),
+                                supp["s_nationkey"].to_numpy(zero_copy_only=False)))
+
+    j = safe_join(li, orders, join_type="inner",
+                  on=("l_orderkey",), right_on=("o_orderkey",),
+                  scrub_left=False, scrub_right=False)
+
+    def _flows(t: pa.Table) -> pa.Table:
+        cm, sm = ray.get(c_ref), ray.get(s_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        cn = cm["n"][np.searchsorted(cm["k"], ck)]
+        sn = sm["n"][np.searchsorted(sm["k"], sk)]
+        df = pd.DataFrame({"sn": sn, "cn": cn, "cnt": np.int64(1)})
+        df = df[df.sn != df.cn]
+        return pa.Table.from_pandas(
+            df.groupby(["sn", "cn"], sort=False, as_index=False)["cnt"].sum(),
+            preserve_index=False)
+
+    pre = j.map_batches(_flows, batch_format="pyarrow")
+    flows = scrub_empty_blocks(
+        pre.groupby(["sn", "cn"], num_partitions=pick_partitions(pre))
+        .aggregate(Sum("cnt", alias_name="cnt")))
+    f = flows.to_pandas()  # ≤ nations² rows — driver-safe at any corpus size
+    if not len(f):
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("nation_a", "nation_b", "flow_ab",
+                              "flow_ba", "reciprocal")})
+    m = f.merge(f, left_on=["sn", "cn"], right_on=["cn", "sn"],
+                suffixes=("", "_r"))
+    m = m[m.sn < m.cn]
+    return pd.DataFrame({
+        "nation_a": m.sn.astype("int64").to_numpy(),
+        "nation_b": m.cn.astype("int64").to_numpy(),
+        "flow_ab": m.cnt.astype("int64").to_numpy(),
+        "flow_ba": m.cnt_r.astype("int64").to_numpy(),
+        "reciprocal": np.minimum(m.cnt.to_numpy(),
+                                 m.cnt_r.to_numpy()).astype("int64")})
+
+
+SQL_TRADE_RECIPROCITY = """
+WITH f AS (
+  SELECT s.s_nationkey sn, c.c_nationkey cn, CAST(COUNT(*) AS BIGINT) cnt
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey GROUP BY 1, 2)
+SELECT CAST(x.sn AS BIGINT) nation_a, CAST(x.cn AS BIGINT) nation_b,
+       x.cnt flow_ab, y.cnt flow_ba, LEAST(x.cnt, y.cnt) reciprocal
+FROM f x JOIN f y ON x.sn = y.cn AND x.cn = y.sn WHERE x.sn < x.cn
+"""
+
+
+ROLLMED_W = 5  # rolling-median window (rows), per user over event time
+
+
+def q_rolling_median(sf_dir: str):
+    """Per-user rolling median of `value` over the trailing ROLLMED_W
+    events (growing windows at the head, matching SQL ROWS BETWEEN n-1
+    PRECEDING). Plan: one user_id co-partitioning shuffle, then the whole
+    bucket resolves in pandas' C rolling-median kernel (min_periods=1 ==
+    the SQL growing frame; both engines average the two middle doubles on
+    even windows, so the float is bit-identical)."""
+    from .stages.partitioning import grouped_batch_map, schema_floor
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+
+    def _roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        rm = (df.groupby("user_id", sort=False)["value"]
+                .rolling(ROLLMED_W, min_periods=1).median()
+                .reset_index(drop=True))
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "rmed": rm.to_numpy()})
+
+    empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                          "rmed": pd.Series(dtype="float64")})
+    return schema_floor(grouped_batch_map(ds, ["user_id"], _roll), empty)
+
+
+SQL_ROLLING_MEDIAN = f"""
+SELECT event_id, MEDIAN(value) OVER (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN {ROLLMED_W - 1} PRECEDING AND CURRENT ROW) AS rmed
+FROM events
+"""
+
+
+def q_burst_detect(sf_dir: str):
+    """Hourly burst detection per event type: flag (type, hour) buckets
+    whose count exceeds the SUM of the previous 3 observed hourly buckets
+    (≈3× the trailing mean — all-integer, so the oracle is exact). Plan:
+    per-batch (type, hour) count combiner → one small Sum groupby →
+    event_type co-partitioning → vectorized shift/cumsum window inside
+    each bucket. The shuffle moves one row per (type, hour), not per
+    event — the combiner is the scale lever."""
+    from ray.data.aggregate import Sum
+
+    from .stages.partitioning import (grouped_batch_map, schema_floor,
+                                      scrub_empty_blocks)
+
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def _hourly(t: pa.Table) -> pa.Table:
+        hr = pc.floor_temporal(t["ts"], unit="hour")
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "hr": hr.to_pandas(), "cnt": np.int64(1)})
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "hr"], sort=False,
+                       as_index=False)["cnt"].sum(),
+            preserve_index=False)
+
+    hourly = scrub_empty_blocks(
+        ds.map_batches(_hourly, batch_format="pyarrow")
+        .groupby(["event_type", "hr"], num_partitions=pick_partitions(ds))
+        .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def _burst(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "hr"],
+                            kind="mergesort").reset_index(drop=True)
+        p3 = (df.groupby("event_type", sort=False)["cnt"]
+                .apply(lambda s: s.shift(1).rolling(3, min_periods=3).sum())
+                .reset_index(drop=True).to_numpy())
+        keep = ~np.isnan(p3)
+        keep &= np.where(keep, df["cnt"].to_numpy() >
+                         np.where(keep, p3, 0), False)
+        out = df.loc[keep, ["event_type", "hr", "cnt"]].reset_index(drop=True)
+        out["prior3"] = p3[keep].astype("int64")
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "hr": pd.Series(dtype="datetime64[us]"),
+                          "cnt": pd.Series(dtype="int64"),
+                          "prior3": pd.Series(dtype="int64")})
+    return schema_floor(grouped_batch_map(hourly, ["event_type"], _burst),
+                        empty)
+
+
+SQL_BURST_DETECT = """
+WITH h AS (SELECT event_type, date_trunc('hour', ts) hr,
+                  CAST(COUNT(*) AS BIGINT) cnt
+           FROM events GROUP BY 1, 2),
+w AS (SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) p3,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY hr
+                            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) np
+      FROM h)
+SELECT event_type, hr, cnt, CAST(p3 AS BIGINT) prior3
+FROM w WHERE np = 3 AND cnt > p3
+"""
+
+
+def q_host_trend(sf_dir: str):
+    """Per-source OLS trend of document length over corpus position
+    (x = rank within source by doc_id): slope = (nΣxy − ΣxΣy)/(nΣx² −
+    (Σx)²), numerator/denominator kept as EXACT int64 (order-invariant
+    under any partitioning) and the slope as the single mirrored float
+    division. Plan: one source co-partitioning shuffle; ranks, moment
+    sums, and the slope all resolve vectorized inside the bucket (whole
+    sources per bucket). Int64 bound: nΣxy ≲ n³·ȳ must fit 2⁶³ — holds
+    to ~2M docs/source at ȳ=1e3; asserted, not assumed."""
+    from .stages.partitioning import grouped_batch_map, schema_floor
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["source", "doc_id", "n_chars"])
+
+    def _trend(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "doc_id"],
+                            kind="mergesort").reset_index(drop=True)
+        x = df.groupby("source", sort=False).cumcount().to_numpy()
+        y = df["n_chars"].to_numpy().astype(np.int64)
+        g = (df.assign(x=x, xy=x * y, xx=x * x)
+               .groupby("source", sort=False)
+               .agg(n=("x", "size"), sx=("x", "sum"), sy=("n_chars", "sum"),
+                    sxy=("xy", "sum"), sxx=("xx", "sum")).reset_index())
+        n = g["n"].to_numpy().astype(np.int64)
+        if len(n) and int(n.max()) > 2_000_000:
+            raise ValueError("host_trend int64 moment bound exceeded: "
+                             "re-scale x before the product sums")
+        num = n * g["sxy"].to_numpy() - g["sx"].to_numpy() * g["sy"].to_numpy()
+        den = n * g["sxx"].to_numpy() - g["sx"].to_numpy() ** 2
+        slope = np.where(den != 0, num / np.where(den == 0, 1, den), np.nan)
+        return pd.DataFrame({"source": g["source"], "n": n,
+                             "slope_num": num.astype("int64"),
+                             "slope_den": den.astype("int64"),
+                             "slope": slope})
+
+    empty = pd.DataFrame({"source": pd.Series(dtype="object"),
+                          "n": pd.Series(dtype="int64"),
+                          "slope_num": pd.Series(dtype="int64"),
+                          "slope_den": pd.Series(dtype="int64"),
+                          "slope": pd.Series(dtype="float64")})
+    return schema_floor(grouped_batch_map(ds, ["source"], _trend), empty)
+
+
+SQL_HOST_TREND = """
+WITH r AS (SELECT source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS x
+           FROM documents),
+g AS (SELECT source, CAST(COUNT(*) AS BIGINT) n, CAST(SUM(x) AS BIGINT) sx,
+      CAST(SUM(n_chars) AS BIGINT) sy, CAST(SUM(x*n_chars) AS BIGINT) sxy,
+      CAST(SUM(x*x) AS BIGINT) sxx FROM r GROUP BY source)
+SELECT source, n, CAST(n*sxy - sx*sy AS BIGINT) slope_num,
+       CAST(n*sxx - sx*sx AS BIGINT) slope_den,
+       CASE WHEN n*sxx - sx*sx <> 0
+            THEN CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+            ELSE NULL END AS slope
+FROM g
+"""
+
+
+BM25_TOPK = 3  # terms kept per document
+
+
+def q_bm25_topk(sf_dir: str):
+    """Per-document top-3 BM25 terms (Robertson-Okapi, k1=1.2 b=0.75).
+    Same join plan as `q_tfidf_topk` — per-(doc,term) TF table, global DF
+    table, per-doc length table — but the score is the full BM25 with the
+    rational idf surrogate (2N−2df+1)/(2df+1) (monotone in the log idf;
+    `log` is not bit-portable, the rational is). Every float derives from
+    exact integer aggregates through ONE mirrored IEEE expression, so
+    ranking AND the emitted score match DuckDB bit-for-bit. Shuffles: the
+    term join, the doc-length join, the final per-doc bucketing — all
+    payload-free key tables."""
+    from ray.data.aggregate import Sum
+
+    from .stages.joins import safe_join
+    from .stages.partitioning import (checkpoint, grouped_batch_map,
+                                      schema_floor, scrub_empty_blocks)
+
+    n_docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+
+    def _tf(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lens = np.diff(toks.offsets.to_numpy())
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        df = pd.DataFrame({
+            "doc_id": doc,
+            "term": pc.list_flatten(toks).to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby(["doc_id", "term"], sort=False).size()
+              .reset_index(name="tf"),
+            preserve_index=False)
+
+    tf = _docs(sf_dir).map_batches(_tf, batch_format="pyarrow")
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        vc = pa.TableGroupBy(t.select(["term"]), "term").aggregate(
+            [([], "count_all")])
+        return vc.rename_columns(["term", "df"])
+
+    dfreq = scrub_empty_blocks(
+        tf.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("term", num_partitions=pick_partitions(tf))
+        .aggregate(Sum("df", alias_name="df")))
+
+    def _dl_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                           "dl": t["tf"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("doc_id", sort=False, as_index=False)["dl"].sum(),
+            preserve_index=False)
+
+    # checkpointed: consumed twice (the Σdl scalar + the doc-length join)
+    dl = checkpoint(scrub_empty_blocks(
+        tf.map_batches(_dl_partial, batch_format="pyarrow")
+        .groupby("doc_id", num_partitions=pick_partitions(tf))
+        .aggregate(Sum("dl", alias_name="dl"))), "bm25_dl")
+    sum_dl = int(dl.sum("dl") or 0)
+    avgdl = float(sum_dl) / float(n_docs) if n_docs else 1.0
+
+    j = safe_join(tf, dfreq, join_type="inner", on=("term",))
+    j = safe_join(j, dl, join_type="inner", on=("doc_id",))
+
+    def _score(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dlv = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = (2.0 * float(n_docs) - 2.0 * dfv + 1.0) / (2.0 * dfv + 1.0)
+        score = idf * ((tfv * 2.2) / (tfv + 1.2 * (0.25 + 0.75 * (dlv / avgdl))))
+        return pa.table({"doc_id": t["doc_id"], "term": t["term"],
+                         "score": pa.array(score)})
+
+    scored = j.map_batches(_score, batch_format="pyarrow")
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True],
+                            kind="mergesort").reset_index(drop=True)
+        return df.groupby("doc_id", sort=False).head(BM25_TOPK) \
+                 .reset_index(drop=True)
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "term": pd.Series(dtype="object"),
+                          "score": pd.Series(dtype="float64")})
+    return schema_floor(grouped_batch_map(scored, ["doc_id"], _topk), empty)
+
+
+SQL_BM25_TOPK = f"""
+WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) dl FROM tf GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM documents),
+ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE)
+       avgdl FROM dl),
+s AS (
+  SELECT tf.doc_id, tf.term,
+   ((2.0*CAST((SELECT n FROM nn) AS DOUBLE) - 2.0*CAST(df AS DOUBLE) + 1.0)
+     / (2.0*CAST(df AS DOUBLE) + 1.0))
+   * ((CAST(tf AS DOUBLE) * 2.2)
+      / (CAST(tf AS DOUBLE)
+         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (SELECT avgdl FROM ad)))))
+   AS score
+  FROM tf
+  JOIN (SELECT term, CAST(COUNT(*) AS BIGINT) df FROM tf GROUP BY 1) dfq
+    USING (term)
+  JOIN dl USING (doc_id)),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) rk FROM s)
+SELECT doc_id, term, score FROM r WHERE rk <= {BM25_TOPK}
+"""
+
+
 def build_queries() -> dict:
     queries = {
         "tile_assign": q_tile_assign,
@@ -10015,6 +10459,12 @@ def build_queries() -> dict:
         "weighted_median": q_weighted_median,
         "interval_union": q_interval_union,
         "throttle_dedup": q_throttle_dedup,
+        "triangle_doulion": q_triangle_doulion,
+        "trade_reciprocity": q_trade_reciprocity,
+        "rolling_median": q_rolling_median,
+        "burst_detect": q_burst_detect,
+        "host_trend": q_host_trend,
+        "bm25_topk": q_bm25_topk,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -10248,6 +10698,12 @@ def build_oracle_sql() -> dict:
         "weighted_median": SQL_WEIGHTED_MEDIAN,
         "interval_union": SQL_INTERVAL_UNION,
         "throttle_dedup": SQL_THROTTLE_DEDUP,
+        "triangle_doulion": SQL_TRIANGLE_DOULION,
+        "trade_reciprocity": SQL_TRADE_RECIPROCITY,
+        "rolling_median": SQL_ROLLING_MEDIAN,
+        "burst_detect": SQL_BURST_DETECT,
+        "host_trend": SQL_HOST_TREND,
+        "bm25_topk": SQL_BM25_TOPK,
         "sampler_TargettedSampler": _sql_sampler("TargettedSampler"),
         "weighted_sample": _sql_weighted_sample(),
         "minhash_lsh": _sql_minhash_lsh(),

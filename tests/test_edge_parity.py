@@ -57,6 +57,12 @@ EDGE_QUERIES = [
     # equal-timestamp pairs (user 7) hit the (user, ts) tie pre-dedup in
     # the throttle closure and a zero-length island gap in the union
     "interval_union", "throttle_dedup",
+    # round-5 fourth wave: user 1's five equal values pin the rolling
+    # median's tie handling; all events share hour 0 so burst_detect's
+    # <3-prior-buckets empty branch must agree; doc 5/6 repeated tokens
+    # tie BM25 tf and df through the mirrored IEEE score; s0/s1 document
+    # ranks exercise the exact-integer OLS moments
+    "rolling_median", "burst_detect", "bm25_topk", "host_trend",
 ]
 
 

@@ -37,6 +37,11 @@ EVENT_QUERIES = [
     # exactly on interval ends (s == prev_e is NOT a break) and exactly
     # GAP apart (>= keeps), the two off-by-one traps of each closure
     "interval_union", "throttle_dedup",
+    # round-5 fourth wave: the tied {1.0, 2.0, 7.5} value pool makes
+    # rolling medians land exactly on window middles; the 90-minute grid
+    # gives burst_detect at most 2 hourly buckets, pinning the <3-prior
+    # empty-result branch on both engines
+    "rolling_median", "burst_detect",
 ]
 
 DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
@@ -72,7 +77,10 @@ DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
                # (DISC quartiles where q1 = q3 = the only element, IQR 0),
                # Morton ranks over hash-colliding cells, and CUBE levels
                # that collapse to single leaves
-               "tukey_outliers", "zorder_positions", "cube_agg"]
+               "tukey_outliers", "zorder_positions", "cube_agg",
+               # round-5 fourth wave: 1-2-doc sources make the OLS trend
+               # denominator exactly 0 (the NULL-slope arm on both sides)
+               "host_trend"]
 
 # multi-shuffle / multi-join pipelines: ~5-20x the wall-clock of the list
 # above per example, so they fuzz at a reduced example count (the operator
@@ -84,7 +92,11 @@ DOC_QUERIES_HEAVY = ["lm_score", "dsir_weights", "ngram_containment",
                      # empty-vocab path: every fuzz term below the count
                      # threshold makes the id-assign + encode join run on
                      # a zero-row vocab (the documented empty-block class)
-                     "encode_tokens"]
+                     "encode_tokens",
+                     # repeated 2-token fuzz docs force tf/df/dl ties, so
+                     # BM25's mirrored IEEE expression must tie-break on
+                     # term bit-identically through 3 joins
+                     "bm25_topk"]
 
 
 def _assert_parity(name, sf_dir, con):
@@ -229,7 +241,12 @@ JOIN_QUERIES = ["left_join", "full_join", "semi_join_shuffle",
                 "tpch_q3", "tpch_q12", "hits", "grouped_winsorize",
                 # round-5: two-value price/weight domains force weighted
                 # medians onto the exact 2·cumw == W boundary
-                "weighted_median"]
+                "weighted_median",
+                # round-5 fourth wave: the 2-supplier keyspace makes the
+                # sparsified co-purchase graph a single edge or empty
+                # (the wedge join's degenerate arms), and 2x3 nation keys
+                # give reciprocity flows that exist in one direction only
+                "triangle_doulion", "trade_reciprocity"]
 
 # order rows straddle HIGH_ORDER_PRICE / Q3 / Q12 windows so every filter
 # can come up empty, partially empty, or full — the shapes that exercise
@@ -267,8 +284,13 @@ def test_fuzz_join_family(orders, lines, segs, ray_session,
     pd.DataFrame({
         "c_custkey": np.arange(1, len(segs) + 1, dtype=np.int64),
         "c_mktsegment": segs,
-        "c_nationkey": np.zeros(len(segs), dtype=np.int64),
+        # 2-value nation keys: reciprocity flows collide AND cross
+        "c_nationkey": np.arange(1, len(segs) + 1, dtype=np.int64) % 2,
     }).to_parquet(d / "customer.parquet", index=False)
+    pd.DataFrame({
+        "s_suppkey": np.arange(2, dtype=np.int64),
+        "s_nationkey": np.arange(2, dtype=np.int64) % 3,
+    }).to_parquet(d / "supplier.parquet", index=False)
     pd.DataFrame({
         "o_orderkey": np.arange(len(orders), dtype=np.int64),
         "o_custkey": np.array([o[0] for o in orders], dtype=np.int64),
@@ -288,7 +310,7 @@ def test_fuzz_join_family(orders, lines, segs, ray_session,
         "l_suppkey": np.array([r[0] % 2 for r in lines], dtype=np.int64),
     }).to_parquet(d / "lineitem.parquet", index=False)
     con = duckdb.connect()
-    for t in ("customer", "orders", "lineitem"):
+    for t in ("customer", "orders", "lineitem", "supplier"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
     for name in JOIN_QUERIES:
         _assert_parity(name, str(d), con)
