@@ -9951,13 +9951,26 @@ def q_trade_reciprocity(sf_dir: str):
                   on=("l_orderkey",), right_on=("o_orderkey",),
                   scrub_left=False, scrub_right=False)
 
+    def _lookup(m, keys):
+        # inner-join semantics vs the broadcast map: keys absent from the
+        # customer/supplier table drop the row (mirrors the SQL twin's
+        # JOIN customer / JOIN supplier)
+        if not len(m["k"]):
+            z = np.zeros(len(keys), dtype=np.int64)
+            return z, np.zeros(len(keys), dtype=bool)
+        idx = np.searchsorted(m["k"], keys)
+        idx_c = np.minimum(idx, len(m["k"]) - 1)
+        hit = m["k"][idx_c] == keys
+        return m["n"][idx_c], hit
+
     def _flows(t: pa.Table) -> pa.Table:
         cm, sm = ray.get(c_ref), ray.get(s_ref)
         ck = t["o_custkey"].to_numpy(zero_copy_only=False)
         sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        cn = cm["n"][np.searchsorted(cm["k"], ck)]
-        sn = sm["n"][np.searchsorted(sm["k"], sk)]
-        df = pd.DataFrame({"sn": sn, "cn": cn, "cnt": np.int64(1)})
+        cn, c_ok = _lookup(cm, ck)
+        sn, s_ok = _lookup(sm, sk)
+        ok = c_ok & s_ok
+        df = pd.DataFrame({"sn": sn[ok], "cn": cn[ok], "cnt": np.int64(1)})
         df = df[df.sn != df.cn]
         return pa.Table.from_pandas(
             df.groupby(["sn", "cn"], sort=False, as_index=False)["cnt"].sum(),
@@ -10275,6 +10288,496 @@ SELECT doc_id, term, score FROM r WHERE rk <= {BM25_TOPK}
 """
 
 
+def q_auc_by_source(sf_dir: str):
+    """Per-source ROC AUC of the length signal (score = n_chars) against
+    the binary label lang == 'en', computed EXACTLY as the Mann-Whitney
+    rank statistic with midranks: AUC = (2·R₁ − n₁(n₁+1)) / (2·n₁·n₀)
+    where 2·R₁ = Σ over positives of (2·rank_lo + tie_count − 1) is pure
+    int64 (midranks live on the half-integer grid, so doubling makes the
+    numerator/denominator exact and order-invariant; the emitted `auc` is
+    the single mirrored float division). Plan: one source co-partitioning
+    shuffle, then ranks + tie counts + the rank sums all resolve in
+    pandas' C rank kernel inside the bucket — whole sources per bucket,
+    no global sort."""
+    from .stages.partitioning import grouped_batch_map, schema_floor
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=["source", "lang", "n_chars"])
+
+    def _auc(df: pd.DataFrame) -> pd.DataFrame:
+        pos = (df["lang"].to_numpy() == "en")
+        # 2·midrank is an exact int64: rank(method="average") yields x.0/x.5
+        # floats that double to integers with no rounding below 2^52 rows
+        r2 = (df.groupby("source", sort=False)["n_chars"]
+                .rank(method="average").to_numpy() * 2.0).astype(np.int64)
+        g = (df.assign(pos=pos.astype(np.int64),
+                       r2p=np.where(pos, r2, 0))
+               .groupby("source", sort=False)
+               .agg(n=("pos", "size"), n1=("pos", "sum"), r2=("r2p", "sum"))
+               .reset_index())
+        n1 = g["n1"].to_numpy().astype(np.int64)
+        n0 = g["n"].to_numpy().astype(np.int64) - n1
+        num = g["r2"].to_numpy().astype(np.int64) - n1 * (n1 + 1)
+        den = 2 * n1 * n0
+        auc = np.where(den > 0, num / np.where(den == 0, 1, den), np.nan)
+        return pd.DataFrame({"source": g["source"],
+                             "n1": n1, "n0": n0,
+                             "auc_num": num, "auc_den": den, "auc": auc})
+
+    empty = pd.DataFrame({"source": pd.Series(dtype="object"),
+                          "n1": pd.Series(dtype="int64"),
+                          "n0": pd.Series(dtype="int64"),
+                          "auc_num": pd.Series(dtype="int64"),
+                          "auc_den": pd.Series(dtype="int64"),
+                          "auc": pd.Series(dtype="float64")})
+    return schema_floor(grouped_batch_map(ds, ["source"], _auc), empty)
+
+
+SQL_AUC_BY_SOURCE = """
+WITH rk AS (
+  SELECT source, (lang = 'en') AS pos,
+         RANK() OVER (PARTITION BY source ORDER BY n_chars) AS rlo,
+         COUNT(*) OVER (PARTITION BY source, n_chars) AS tc
+  FROM documents),
+g AS (SELECT source,
+        CAST(SUM(CASE WHEN pos THEN 2 * rlo + tc - 1 ELSE 0 END) AS BIGINT) r2,
+        CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) n1,
+        CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) n0
+      FROM rk GROUP BY source)
+SELECT source, n1, n0,
+       CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS auc_num,
+       CAST(2 * n1 * n0 AS BIGINT) AS auc_den,
+       CASE WHEN n1 > 0 AND n0 > 0
+            THEN CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                 / CAST(2 * n1 * n0 AS DOUBLE)
+            ELSE NULL END AS auc
+FROM g
+"""
+
+
+RETR_QUERY_IDS = list(range(0, 48, 3))  # 16 probes spread over the head
+
+
+def q_retrieval_first_rank(sf_dir: str):
+    """Retrieval-quality eval: for each probe vector, the exact rank of
+    the FIRST relevant corpus item (same label, self excluded) under the
+    full cosine ordering (cos desc, vec_id asc) — the integer behind MRR,
+    emitted as the rank itself so the result is all-int64 exact. Plan:
+    rank-without-sorting in two broadcast passes over the corpus: (1) a
+    per-batch best-relevant candidate per probe, tree-merged on the
+    driver (Q rows/batch); (2) a per-batch COUNT of items strictly ahead
+    of that best-relevant item, Sum-merged — rank = count + 1. No global
+    sort, no top-k cutoff that could miss a deep first hit; both passes
+    stream the corpus once with the probe matrix broadcast via ray.put."""
+    from .functions.similarity import (_batch_qmat, cosine_from_ints,
+                                       quantize)
+
+    empty_out = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                              "qid": pd.Series(dtype="int64"),
+                              "label": pd.Series(dtype="int64"),
+                              "first_rank": pd.Series(dtype="int64")})
+
+    path = f"{sf_dir}/embeddings.parquet"
+    # probe ids absent from the corpus are dropped, mirroring the SQL
+    # twin's inner join against the VALUES probe map; query_id keeps the
+    # probe's ORIGINAL position in RETR_QUERY_IDS on both engines
+    import pyarrow.dataset as pads
+    probe = pads.dataset(path).to_table(
+        columns=["vec_id", "embedding", "label"],
+        filter=pads.field("vec_id").isin(RETR_QUERY_IDS)).to_pandas() \
+        .set_index("vec_id")
+    found = [i for i in RETR_QUERY_IDS if i in probe.index]
+    if not found:
+        return empty_out
+    positions = np.asarray(
+        [qi for qi, i in enumerate(RETR_QUERY_IDS) if i in probe.index],
+        dtype=np.int64)
+    qids = np.asarray(found, dtype=np.int64)
+    qm = quantize(np.stack(probe.loc[found, "embedding"].to_numpy()))
+    qlab = probe.loc[found, "label"].to_numpy().astype(np.int64)
+    qn = (qm * qm).sum(axis=1)
+    q_ref = ray.put((qm, qn, qids, qlab))
+
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding", "label"])
+
+    def _cos_block(t: pa.Table):
+        qm_, qn_, qids_, qlab_ = ray.get(q_ref)
+        ez = _batch_qmat(t, "embedding")
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        en = (ez * ez).sum(axis=1)
+        cos = cosine_from_ints(ez @ qm_.T, en[:, None], qn_[None, :])
+        return qids_, qlab_, ids, lab, cos
+
+    def _best_rel(t: pa.Table) -> pa.Table:
+        qids_, qlab_, ids, lab, cos = _cos_block(t)
+        nq = len(qids_)
+        out_q, out_id, out_c = [], [], []
+        for qi in range(nq):
+            m = (lab == qlab_[qi]) & (ids != qids_[qi])
+            if not m.any():
+                continue
+            order = np.lexsort((ids[m], -cos[m, qi]))[0]
+            out_q.append(qi)
+            out_id.append(ids[m][order])
+            out_c.append(cos[m, qi][order])
+        return pa.table({"qi": pa.array(out_q, pa.int64()),
+                         "rid": pa.array(out_id, pa.int64()),
+                         "rcos": pa.array(out_c, pa.float64())})
+
+    best = ds.map_batches(_best_rel, batch_format="pyarrow").to_pandas()
+    if not len(best):
+        return empty_out
+    best = best.sort_values(["qi", "rcos", "rid"],
+                            ascending=[True, False, True], kind="mergesort") \
+               .groupby("qi", sort=False).head(1).set_index("qi")
+    rcos = np.full(len(qids), -np.inf)
+    rid = np.full(len(qids), -1, dtype=np.int64)
+    rcos[best.index.to_numpy()] = best["rcos"].to_numpy()
+    rid[best.index.to_numpy()] = best["rid"].to_numpy()
+    b_ref = ray.put((rcos, rid))
+
+    def _ahead(t: pa.Table) -> pa.Table:
+        qids_, _, ids, _, cos = _cos_block(t)
+        rcos_, rid_ = ray.get(b_ref)
+        not_self = ids[:, None] != qids_[None, :]
+        ahead = (cos > rcos_[None, :]) | (
+            (cos == rcos_[None, :]) & (ids[:, None] < rid_[None, :]))
+        cnt = (ahead & not_self).sum(axis=0).astype(np.int64)
+        return pa.table({"qi": pa.array(np.arange(len(qids_), dtype=np.int64)),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    parts = ds.map_batches(_ahead, batch_format="pyarrow").to_pandas()
+    cnt = parts.groupby("qi", sort=False)["cnt"].sum()
+    have = np.isin(np.arange(len(qids)), best.index.to_numpy())
+    out = pd.DataFrame({
+        "query_id": positions,
+        "qid": qids, "label": qlab,
+        "first_rank": cnt.reindex(np.arange(len(qids))).fillna(0)
+                         .to_numpy().astype(np.int64) + 1})
+    return out[have].reset_index(drop=True)
+
+
+def _sql_retrieval_first_rank(dim: int = 64) -> str:
+    from .functions.similarity import quantize_sql
+
+    qe = quantize_sql("embedding")
+    order = ", ".join(f"({i}, {qi})"
+                      for qi, i in enumerate(RETR_QUERY_IDS))
+    return f"""
+WITH z AS (SELECT vec_id, label, {qe} AS e FROM embeddings),
+nz AS (SELECT vec_id, label, e,
+       (SELECT SUM(e[i] * e[i]) FROM generate_series(1, {dim}) t(i)) AS nn
+       FROM z),
+qmap AS (SELECT CAST(qid AS BIGINT) AS qid, CAST(query_id AS BIGINT) AS query_id
+         FROM (VALUES {order}) v(qid, query_id)),
+q AS (SELECT query_id, qid, nz.label AS qlabel, e AS qe, nn AS qn
+      FROM nz JOIN qmap ON vec_id = qid),
+d AS (SELECT q.query_id, q.qid, q.qlabel, nz.vec_id, nz.label,
+        (SELECT SUM(qe[i] * nz.e[i]) FROM generate_series(1, {dim}) t(i)) AS dot,
+        nz.nn AS en, q.qn
+      FROM q, nz WHERE nz.vec_id != q.qid),
+c AS (SELECT query_id, qid, qlabel, vec_id, label,
+        CAST(dot AS DOUBLE) / (SQRT(CAST(en AS DOUBLE)) * SQRT(CAST(qn AS DOUBLE))) AS cos
+      FROM d),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rk FROM c)
+SELECT query_id, qid, CAST(qlabel AS BIGINT) AS label,
+       CAST(MIN(CASE WHEN label = qlabel THEN rk END) AS BIGINT) AS first_rank
+FROM r GROUP BY query_id, qid, qlabel
+HAVING MIN(CASE WHEN label = qlabel THEN rk END) IS NOT NULL
+"""
+
+
+PROF_COLS = ("doc_id", "lang", "source", "n_chars")
+
+
+def q_profile_stats(sf_dir: str):
+    """Column profiler over `documents`: per column the row count, null
+    count, EXACT distinct count, and lexicographic min/max of the VARCHAR
+    rendering (one uniform output type across int and string columns —
+    both engines render int64 as decimal digits, so the strings agree).
+    Plan: per-batch unpivot to (col, val) pairs + a (n, nulls) combiner,
+    ONE hash shuffle on (col, val) for the exact distinct sets, then a
+    tiny per-col reduce for ndv/min/max. The unpivot never touches the
+    payload `text` column; distinct-pair volume is bounded by the true
+    NDV per column after the in-batch drop_duplicates combiner."""
+    from ray.data.aggregate import Sum
+
+    from .stages.partitioning import grouped_batch_map, scrub_empty_blocks
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet",
+                            columns=list(PROF_COLS))
+
+    def _unpivot(t: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in PROF_COLS:
+            arr = t[c]
+            s = pc.cast(arr, pa.string())
+            s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+            v = s.to_pandas()
+            v = v[v.notna()].drop_duplicates()
+            cols.append(np.full(len(v), c, dtype=object))
+            vals.append(v.to_numpy())
+        return pa.table({
+            "col": pa.array(np.concatenate(cols), pa.string()),
+            "val": pa.array(np.concatenate(vals), pa.string())})
+
+    pairs = ds.map_batches(_unpivot, batch_format="pyarrow")
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates().reset_index(drop=True)
+
+    distinct = grouped_batch_map(pairs, ["col", "val"], _dedup)
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("col", sort=False)["val"] \
+              .agg(n_distinct="size", min_s="min", max_s="max").reset_index()
+        g["n_distinct"] = g["n_distinct"].astype("int64")
+        return g
+
+    prof = grouped_batch_map(distinct, ["col"], _reduce).to_pandas()
+    if "col" not in prof.columns:  # empty input: to_pandas loses the schema
+        prof = pd.DataFrame({"col": pd.Series(dtype="object"),
+                             "n_distinct": pd.Series(dtype="int64"),
+                             "min_s": pd.Series(dtype="object"),
+                             "max_s": pd.Series(dtype="object")})
+
+    def _counts(t: pa.Table) -> pa.Table:
+        rows, nulls = [], []
+        for c in PROF_COLS:
+            rows.append(len(t))
+            nulls.append(t[c].null_count)
+        return pa.table({"col": pa.array(list(PROF_COLS), pa.string()),
+                         "n_rows": pa.array(rows, pa.int64()),
+                         "n_null": pa.array(nulls, pa.int64())})
+
+    cnt = scrub_empty_blocks(
+        ds.map_batches(_counts, batch_format="pyarrow")
+        .groupby("col", num_partitions=4)
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("n_null", alias_name="n_null"))).to_pandas()
+
+    out = cnt.merge(prof, on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    return out[["col", "n_rows", "n_null", "n_distinct", "min_s", "max_s"]] \
+        .sort_values("col", kind="mergesort").reset_index(drop=True)
+
+
+SQL_PROFILE_STATS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_s, MAX(CAST({c} AS VARCHAR)) AS max_s
+FROM documents""" for c in PROF_COLS)
+
+
+FK_EDGES = [
+    # (name, child table, child key, parent table, parent key, broadcastable)
+    ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey", True),
+    ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey", True),
+    ("nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey", True),
+]
+
+
+def q_fk_violations(sf_dir: str):
+    """Referential-integrity audit: per FK edge the child row count and
+    the number of orphan rows (child key absent from the parent). Two
+    plans by parent size: dimension parents broadcast their sorted int64
+    key array once (ray.put; membership = vectorized searchsorted in
+    every task — 10M keys is 80 MB, well under the repo's 256 MiB
+    broadcast cap), while the fact-sized orders parent goes through the
+    distributed path: per-batch (key, cnt) combiner → one hash shuffle →
+    left join against the parent key column → Sum of cnt where the
+    parent is null. Counts only — no payload column ever moves."""
+    from ray.data.aggregate import Sum
+
+    from .stages.joins import safe_join
+    from .stages.partitioning import scrub_empty_blocks
+
+    rows = []
+    for name, child, ckey, parent, pkey, bcast in FK_EDGES:
+        cds = read_parquet_sized(f"{sf_dir}/{child}.parquet", columns=[ckey])
+        n_rows = cds.count()
+        if bcast:
+            keys = np.sort(pq.read_table(
+                f"{sf_dir}/{parent}.parquet", columns=[pkey]
+            )[pkey].to_numpy(zero_copy_only=False).astype(np.int64))
+            k_ref = ray.put(keys)
+
+            def _orphans(t: pa.Table, _ck=ckey, _ref=k_ref) -> pa.Table:
+                ks = ray.get(_ref)
+                v = t[_ck].to_numpy(zero_copy_only=False).astype(np.int64)
+                if len(ks):
+                    pos = np.minimum(np.searchsorted(ks, v), len(ks) - 1)
+                    miss = ks[pos] != v
+                else:
+                    miss = np.ones(len(v), dtype=bool)
+                return pa.table({"n": pa.array([int(miss.sum())], pa.int64())})
+
+            n_orph = int(cds.map_batches(
+                _orphans, batch_format="pyarrow").sum("n") or 0)
+        else:
+            def _cnt(t: pa.Table, _ck=ckey) -> pa.Table:
+                v = t[_ck].to_numpy(zero_copy_only=False).astype(np.int64)
+                u, c = np.unique(v, return_counts=True)
+                return pa.table({"k": pa.array(u, pa.int64()),
+                                 "cnt": pa.array(c.astype(np.int64))})
+
+            kc = scrub_empty_blocks(
+                cds.map_batches(_cnt, batch_format="pyarrow")
+                .groupby("k", num_partitions=pick_partitions(cds))
+                .aggregate(Sum("cnt", alias_name="cnt")))
+            pds = read_parquet_sized(f"{sf_dir}/{parent}.parquet",
+                                     columns=[pkey])
+            j = safe_join(kc, pds, join_type="left_anti",
+                          on=("k",), right_on=(pkey,), scrub_right=False)
+
+            def _sum_orphans(t: pa.Table) -> pa.Table:
+                cntv = t["cnt"].to_numpy(zero_copy_only=False)
+                return pa.table({"n": pa.array(
+                    [int(cntv.sum())], pa.int64())})
+
+            n_orph = int(j.map_batches(
+                _sum_orphans, batch_format="pyarrow").sum("n") or 0)
+        rows.append((name, n_rows, n_orph))
+
+    return pd.DataFrame({
+        "fk": [r[0] for r in rows],
+        "n_rows": pd.array([r[1] for r in rows], dtype="int64"),
+        "n_orphans": pd.array([r[2] for r in rows], dtype="int64")})
+
+
+SQL_FK_VIOLATIONS = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS fk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM {child} c LEFT JOIN {parent} p ON c.{ckey} = p.{pkey}"""
+    for name, child, ckey, parent, pkey, _ in FK_EDGES)
+
+
+BP_ROUNDS = 3   # unrolled peeling rounds (matches the SQL twin's CTE depth)
+BP_KP = 10      # a part survives with >= KP distinct suppliers
+BP_KS = 100     # a supplier survives with >= KS distinct parts
+
+
+def q_bipartite_prune(sf_dir: str, rounds: int = None, kp: int = None,
+                      ks: int = None):
+    """Iterative bipartite-core pruning (the degree-peeling preamble of
+    co-occurrence mining / k-core): on the part–supplier incidence graph,
+    repeat BP_ROUNDS times — drop parts with < BP_KP distinct suppliers
+    and suppliers with < BP_KS distinct parts, degrees recomputed on the
+    CURRENT edge set each round (both filters applied simultaneously,
+    matching the SQL twin's nested CTEs). Returns surviving suppliers
+    with their final degree. Plan: edge dedup via one (p, s) hash
+    shuffle; each round computes both degree tables with per-batch
+    combiners + a small Sum groupby, broadcasts the SURVIVOR key sets
+    (sorted int64 arrays — degree tables are node-, not edge-sized), and
+    filters the checkpointed edge set in one vectorized map. Edges are
+    re-shuffled zero times after the initial dedup."""
+    from ray.data.aggregate import Sum
+
+    from .stages.partitioning import (checkpoint, grouped_batch_map,
+                                      scrub_empty_blocks)
+
+    rounds = BP_ROUNDS if rounds is None else rounds
+    kp = BP_KP if kp is None else kp
+    ks = BP_KS if ks is None else ks
+    li = read_parquet_sized(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+
+    def _ps(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p": t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "s": t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)})
+        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates().reset_index(drop=True)
+
+    e = grouped_batch_map(li.map_batches(_ps, batch_format="pyarrow"),
+                          ["p", "s"], _dedup)
+
+    def _degrees(ds, key):
+        def _cnt(t: pa.Table, _k=key) -> pa.Table:
+            u, c = np.unique(
+                t[_k].to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table({_k: pa.array(u, pa.int64()),
+                             "d": pa.array(c.astype(np.int64))})
+        return scrub_empty_blocks(
+            ds.map_batches(_cnt, batch_format="pyarrow")
+            .groupby(key, num_partitions=4)
+            .aggregate(Sum("d", alias_name="d")))
+
+    empty_out = pd.DataFrame({"s": pd.Series(dtype="int64"),
+                              "deg": pd.Series(dtype="int64")})
+    final = None
+    for rnd in range(rounds):
+        e = checkpoint(e, f"bp_edges_{rnd}")
+        if e.count() == 0:
+            return empty_out
+        pdeg = _degrees(e, "p").to_pandas()
+        sdeg = _degrees(e, "s").to_pandas()
+        keep_p = np.sort(pdeg.loc[pdeg["d"] >= kp, "p"]
+                         .to_numpy().astype(np.int64))
+        keep_s = np.sort(sdeg.loc[sdeg["d"] >= ks, "s"]
+                         .to_numpy().astype(np.int64))
+        if len(keep_p) == len(pdeg) and len(keep_s) == len(sdeg):
+            # fixpoint: every node clears its threshold, so the remaining
+            # unrolled rounds are identity filters on BOTH engines — the
+            # current supplier degrees ARE the final answer
+            final = sdeg
+            break
+        k_ref = ray.put((keep_p, keep_s))
+
+        def _filter(t: pa.Table, _ref=k_ref) -> pa.Table:
+            kp, ks = ray.get(_ref)
+            pv = t["p"].to_numpy(zero_copy_only=False)
+            sv = t["s"].to_numpy(zero_copy_only=False)
+
+            def _member(keys, v):
+                if not len(keys):
+                    return np.zeros(len(v), dtype=bool)
+                pos = np.minimum(np.searchsorted(keys, v), len(keys) - 1)
+                return keys[pos] == v
+
+            m = _member(kp, pv) & _member(ks, sv)
+            return pa.table({"p": pa.array(pv[m], pa.int64()),
+                             "s": pa.array(sv[m], pa.int64())})
+
+        e = e.map_batches(_filter, batch_format="pyarrow")
+
+    if final is None:
+        final = _degrees(e, "s").to_pandas()
+    if not len(final):
+        return empty_out
+    return final.rename(columns={"d": "deg"}) \
+        .astype({"s": "int64", "deg": "int64"}) \
+        .sort_values("s", kind="mergesort").reset_index(drop=True)
+
+
+def _sql_bipartite_prune(rounds: int = None, kp: int = None,
+                         ks: int = None) -> str:
+    rounds = BP_ROUNDS if rounds is None else rounds
+    kp = BP_KP if kp is None else kp
+    ks = BP_KS if ks is None else ks
+    sql = "WITH e0 AS (SELECT DISTINCT l_partkey p, l_suppkey s FROM lineitem)"
+    prev = "e0"
+    for rnd in range(1, rounds + 1):
+        sql += f""",
+e{rnd} AS (SELECT p, s FROM {prev}
+  WHERE p IN (SELECT p FROM {prev} GROUP BY p HAVING COUNT(*) >= {kp})
+    AND s IN (SELECT s FROM {prev} GROUP BY s HAVING COUNT(*) >= {ks}))"""
+        prev = f"e{rnd}"
+    return sql + f"""
+SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM {prev} GROUP BY s
+"""
+
+
 def build_queries() -> dict:
     queries = {
         "tile_assign": q_tile_assign,
@@ -10465,6 +10968,11 @@ def build_queries() -> dict:
         "burst_detect": q_burst_detect,
         "host_trend": q_host_trend,
         "bm25_topk": q_bm25_topk,
+        "auc_by_source": q_auc_by_source,
+        "retrieval_first_rank": q_retrieval_first_rank,
+        "profile_stats": q_profile_stats,
+        "fk_violations": q_fk_violations,
+        "bipartite_prune": q_bipartite_prune,
     }
     for name in ("RandomSampler", "SpatialSampler", "TargettedSampler",
                  "DiversitySampler", "OutliersSampler", "TripleSampler", "CopySampler"):
@@ -10704,6 +11212,11 @@ def build_oracle_sql() -> dict:
         "burst_detect": SQL_BURST_DETECT,
         "host_trend": SQL_HOST_TREND,
         "bm25_topk": SQL_BM25_TOPK,
+        "auc_by_source": SQL_AUC_BY_SOURCE,
+        "retrieval_first_rank": _sql_retrieval_first_rank(),
+        "profile_stats": SQL_PROFILE_STATS,
+        "fk_violations": SQL_FK_VIOLATIONS,
+        "bipartite_prune": _sql_bipartite_prune(),
         "sampler_TargettedSampler": _sql_sampler("TargettedSampler"),
         "weighted_sample": _sql_weighted_sample(),
         "minhash_lsh": _sql_minhash_lsh(),

@@ -63,6 +63,10 @@ EDGE_QUERIES = [
     # tie BM25 tf and df through the mirrored IEEE score; s0/s1 document
     # ranks exercise the exact-integer OLS moments
     "rolling_median", "burst_detect", "bm25_topk", "host_trend",
+    # round-5 fifth wave: every doc is lang='en', so AUC's n0 = 0 arm
+    # (NULL auc, zero denominator) must agree on both engines; the
+    # profiler sees n_chars ties and a 2-value source column
+    "auc_by_source", "profile_stats",
 ]
 
 

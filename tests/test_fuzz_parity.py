@@ -80,7 +80,12 @@ DOC_QUERIES = ["dedup_keep_best", "dedup_text", "top_terms",
                "tukey_outliers", "zorder_positions", "cube_agg",
                # round-5 fourth wave: 1-2-doc sources make the OLS trend
                # denominator exactly 0 (the NULL-slope arm on both sides)
-               "host_trend"]
+               "host_trend",
+               # round-5 fifth wave: mixed en/fr with tied n_chars pins
+               # the midrank arithmetic (2·R₁ stays integral through
+               # ties); empty-string texts give the profiler n_chars=0
+               # and duplicate VARCHAR renderings
+               "auc_by_source", "profile_stats"]
 
 # multi-shuffle / multi-join pipelines: ~5-20x the wall-clock of the list
 # above per example, so they fuzz at a reduced example count (the operator
@@ -198,7 +203,11 @@ EMB_QUERIES = ["kmeans_assign", "semdedup", "label_centroids",
                "embed_covariance", "kmeans_lloyd", "embed_whiten",
                # round-5: exact duplicates collide in every LSH table and
                # tied cosines stress the mirrored int-cosine expression
-               "embed_neardup_lsh"]
+               "embed_neardup_lsh",
+               # round-5 fifth wave: most RETR_QUERY_IDS probes are absent
+               # (the SQL inner-join drop), duplicate vectors put cos==1.0
+               # ties at rank 1, and 2-label pools hit the no-relevant arm
+               "retrieval_first_rank"]
 
 # pool of 6 distinct 64-dim vectors with float32-exact quarter components;
 # repeated picks plant EXACT duplicate vectors (cos == 1.0) and near-ties
@@ -246,7 +255,11 @@ JOIN_QUERIES = ["left_join", "full_join", "semi_join_shuffle",
                 # sparsified co-purchase graph a single edge or empty
                 # (the wedge join's degenerate arms), and 2x3 nation keys
                 # give reciprocity flows that exist in one direction only
-                "triangle_doulion", "trade_reciprocity"]
+                "triangle_doulion", "trade_reciprocity",
+                # round-5 fifth wave: at production thresholds every tiny
+                # fuzz graph peels to nothing — the all-pruned empty arm
+                # (cascade dynamics live in test_fuzz_bipartite_cascade)
+                "bipartite_prune"]
 
 # order rows straddle HIGH_ORDER_PRICE / Q3 / Q12 windows so every filter
 # can come up empty, partially empty, or full — the shapes that exercise
@@ -315,3 +328,104 @@ def test_fuzz_join_family(orders, lines, segs, ray_session,
     for name in JOIN_QUERIES:
         _assert_parity(name, str(d), con)
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth wave: referential-integrity audit + bipartite peeling cascade
+
+fk_children = st.tuples(
+    # (o_custkey values, l_orderkey values, l_partkey values, l_suppkey
+    # values) — each range deliberately OVERSHOOTS its parent keyspace so
+    # every FK edge can produce zero, some, or only orphans
+    st.lists(st.integers(0, 5), min_size=1, max_size=8),    # o_custkey (cust 1..3)
+    st.lists(st.integers(0, 7), min_size=1, max_size=10),   # l_orderkey
+    st.lists(st.integers(0, 4), min_size=1, max_size=10),   # l_partkey (part 0..2)
+    st.lists(st.integers(0, 3), min_size=1, max_size=10),   # l_suppkey (supp 0..1)
+    st.lists(st.integers(0, 4), min_size=1, max_size=4),    # c_nationkey (nation 0..2)
+)
+
+
+@settings(max_examples=max(3, FUZZ_EXAMPLES * 3 // 4), deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=fk_children)
+def test_fuzz_fk_violations(data, ray_session, tmp_path_factory):
+    """Orphan-count parity: child keys overshoot every parent keyspace, so
+    both the broadcast-membership path (dimension parents) and the
+    distributed count→anti-join path (the orders parent) must count the
+    same orphans as DuckDB's LEFT JOIN ... IS NULL."""
+    custs, lords, lparts, lsupps, cnats = data
+    d = tmp_path_factory.mktemp("fuzz_fk")
+    n_li = max(len(lords), len(lparts), len(lsupps))
+
+    def cyc(v, n):
+        return np.array([v[i % len(v)] for i in range(n)], dtype=np.int64)
+
+    pd.DataFrame({"r_regionkey": np.arange(2, dtype=np.int64)}) \
+        .to_parquet(d / "region.parquet", index=False)
+    pd.DataFrame({
+        "n_nationkey": np.arange(3, dtype=np.int64),
+        "n_regionkey": np.array([0, 1, 2], dtype=np.int64),  # 2 is an orphan
+    }).to_parquet(d / "nation.parquet", index=False)
+    pd.DataFrame({
+        "c_custkey": np.arange(1, len(cnats) + 1, dtype=np.int64),
+        "c_nationkey": np.array(cnats, dtype=np.int64),
+    }).to_parquet(d / "customer.parquet", index=False)
+    pd.DataFrame({
+        "s_suppkey": np.arange(2, dtype=np.int64),
+        "s_nationkey": np.array([0, 4], dtype=np.int64),  # 4 is an orphan
+    }).to_parquet(d / "supplier.parquet", index=False)
+    pd.DataFrame({
+        "p_partkey": np.arange(3, dtype=np.int64),
+    }).to_parquet(d / "part.parquet", index=False)
+    pd.DataFrame({
+        "o_orderkey": np.arange(len(custs), dtype=np.int64),
+        "o_custkey": np.array(custs, dtype=np.int64),
+    }).to_parquet(d / "orders.parquet", index=False)
+    pd.DataFrame({
+        "l_orderkey": cyc(lords, n_li),
+        "l_partkey": cyc(lparts, n_li),
+        "l_suppkey": cyc(lsupps, n_li),
+    }).to_parquet(d / "lineitem.parquet", index=False)
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    _assert_parity("fk_violations", str(d), con)
+    con.close()
+
+
+bip_edges = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 4)),  # (part, supplier)
+    min_size=2, max_size=30,
+)
+
+
+@settings(max_examples=max(3, FUZZ_EXAMPLES * 3 // 4), deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=bip_edges)
+def test_fuzz_bipartite_cascade(edges, ray_session, tmp_path_factory):
+    """Degree-peeling parity at CASCADE-scale thresholds (kp=2, ks=2 over
+    a 6x5 keyspace): each round's removals push neighbors below their
+    threshold, so partial survival, multi-round cascades, and the
+    all-pruned empty arm all occur across examples. The Ray side and the
+    unrolled-CTE SQL twin are parameterized identically."""
+    from pacasam_ray.queries import _sql_bipartite_prune, q_bipartite_prune
+
+    d = tmp_path_factory.mktemp("fuzz_bip")
+    pd.DataFrame({
+        "l_partkey": np.array([e[0] for e in edges], dtype=np.int64),
+        "l_suppkey": np.array([e[1] for e in edges], dtype=np.int64),
+    }).to_parquet(d / "lineitem.parquet", index=False)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{d}/lineitem.parquet'")
+
+    ray_df = canonicalize(to_pandas(
+        q_bipartite_prune(str(d), rounds=3, kp=2, ks=2)))
+    ora_df = canonicalize(
+        con.sql(_sql_bipartite_prune(rounds=3, kp=2, ks=2)).df())
+    con.close()
+    assert len(ray_df) == len(ora_df)
+    assert list(ray_df.columns) == list(ora_df.columns)
+    for c in ray_df.columns:
+        assert list(ray_df[c]) == list(ora_df[c]), c
