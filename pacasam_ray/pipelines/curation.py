@@ -6,9 +6,10 @@ plan over (doc_id, source, text):
 1. language-ID gate + Gopher quality gate, FUSED into a single actor-pool
    stage (profiles compiled once per actor in ``__init__``; both gates
    reuse the exact standalone kernels from ``functions/text``);
-2. exact content dedup — md5 fingerprint per batch, then the single
-   key-hash exchange keeping the min-id representative
-   (``functions/dedup.dedup_text_exact``);
+2. exact content dedup — md5 fingerprint, token count and order key in
+   one pre-exchange pass (text never enters the shuffle; ~60 B/row move),
+   then the single key-hash exchange keeping the min-id representative
+   (``stages/dedup.dedup_exact_prehashed``);
 3. per-source token-budget realization — deterministic hash-rank order +
    the two-pass distributed prefix-sum scan (``stages/scan``), keeping
    documents until each source's budget line is crossed.
@@ -59,19 +60,32 @@ def webtext_curate_pipeline(ds):
     fully STREAMING (consume with write_parquet / iter_batches; the
     registry wrapper applies ``schema_floor`` for its bounded driver-side
     result, which costs a materialization this function never forces)."""
-    from ..functions.dedup import dedup_text_exact
     from ..functions.text import token_count
     from ..stages.scan import grouped_prefix_sum
 
-    # autoscaling pool: min=1 so a 4-CPU test session can't starve the
-    # upstream read (the fixed-pool deadlock documented in the verify
-    # recipe); max sized for a full node so the gate stage is never the
-    # parallelism cap at volume
-    gated = ds.map_batches(CurateGates, batch_format="pyarrow",
-                           concurrency=(1, 16))
-    ded = dedup_text_exact(gated)
+    # fixed pool sized to HALF the session CPUs: a full-width fixed pool
+    # deadlocks a small test session (starves the upstream read — the
+    # verify-recipe gotcha) and a (1, 16) autoscaling pool ramps too
+    # slowly to matter on a 10-second leg (measured 8.9 s vs 4.0 s fixed
+    # at 2M docs/32 cpus); half-width leaves the read + downstream ops
+    # headroom at ANY session size, 4-CPU pytest included
+    import ray as _ray
 
-    def _prep(t: pa.Table) -> pa.Table:
+    cpus = int(_ray.cluster_resources().get("CPU", 4)) \
+        if _ray.is_initialized() else 4
+    gated = ds.map_batches(CurateGates, batch_format="pyarrow",
+                           concurrency=max(2, cpus // 2))
+
+    def _fp_prep(t: pa.Table) -> pa.Table:
+        # fingerprint + token count + order key in ONE pass over the gated
+        # text, BEFORE the dedup exchange: ntok and rk are row-local, and
+        # the representative dedup keeps is a whole row, so computing them
+        # pre-dedup is value-identical to computing them on the survivor —
+        # but the shuffle then moves (id, source, ntok, rk, md5) ≈ 60 B/row
+        # instead of the full text (measured: the text-through-the-exchange
+        # plan was ~8 s of the 24 s leg at 2M docs)
+        import hashlib
+
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         # same order-key uniqueness bound as token_budget_mix
         if len(ids) and ids.max() >= np.int64(2**31):
@@ -79,20 +93,31 @@ def webtext_curate_pipeline(ds):
                 "webtext_curate order key requires doc_id < 2**31; "
                 "re-key the corpus or widen the order key to a composite")
         rk = hmix(ids, SALT_CURATE) * np.int64(2**31) + ids % np.int64(2**31)
+        fps = pa.array([hashlib.md5(x.encode()).hexdigest()
+                        for x in t["text"].to_pylist()])
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "source": pc.cast(t["source"], pa.string()),
             "ntok": token_count(t["text"]),
-            "rk": pa.array(rk, pa.int64())})
+            "rk": pa.array(rk, pa.int64()),
+            "content_key": fps})
+
+    from ..stages.dedup import dedup_exact_prehashed
+
+    ded = dedup_exact_prehashed(
+        gated.map_batches(_fp_prep, batch_format="pyarrow"),
+        "content_key", "doc_id")
 
     # the budget scan is two passes; checkpoint the (id, source, ntok, rk)
     # projection so gates + dedup run ONCE, not once per pass (the
-    # ccnet_bucket lesson) — text is already projected away, so the
+    # ccnet_bucket lesson) — text never entered the exchange, so the
     # checkpoint is 32 bytes/doc, spilling to parquet past the threshold
     from ..stages.partitioning import checkpoint
 
-    prep = checkpoint(ded.map_batches(_prep, batch_format="pyarrow"),
-                      "curate_prep")
+    prep = checkpoint(
+        ded.map_batches(lambda t: t.drop_columns(["content_key"]),
+                        batch_format="pyarrow"),
+        "curate_prep")
     scanned = grouped_prefix_sum(prep, "source", "rk", "ntok",
                                  out_col="__pre")
 
